@@ -1,38 +1,504 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes the engine's operators (SURVEY.md §2) over the
+driver testdata tables; ``oracle_sql()`` gives the DuckDB-equivalent SQL.
+
+Conventions shared by every (query, oracle) pair so the driver's
+row-count/schema/value-hash compare is stable:
+
+* Bucket timestamps are **epoch-second bigints** computed with integer
+  arithmetic (``es - es % width``) on both sides — timezone-independent.
+* Double aggregates whose inputs are 2-decimal values are ``round(x, 2)``
+  (the true sum lies on the 0.01 grid, so rounding is exact); derived
+  ratios are ``round(x, 4)``; statistical quantities are formatted
+  ``%.5e`` (6 significant digits) so the compare is scale-free.
+* Exact integer / min / max / string outputs are left unrounded.
+* Recursive kernels (EWMA/ψ, forecasts) are not SQL-expressible → no
+  oracle entry (driver records rows-only); their numerics are pinned by
+  golden tests in tests/ instead.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from rust_timeseries_spark.operators import gapfill, recursion, rolling, rollup  # noqa: E402
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _r2(c):  # sums of 2-decimal inputs: exact on the 0.01 grid
+    return F.round(c, 2)
+
+
+def _r4(c):  # derived ratios
+    return F.round(c, 4)
+
+
+def _sci(c):  # scale-free 6-significant-digit compare for statistics
+    c = c.cast("double")
+    return F.when(c.isNotNull(), F.format_string("%.5e", c))
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full tier cascade on sf0.001 events — raw → 1m → 1h →
+    1d — with derived means at the 1h tier (the engine's §7.0 slice)."""
+    ev = _events(spark, "/root/testdata/sf0.001")
+    t1m = rollup.rollup_raw(ev, "1m", keys=["event_type"], ts_col="ts", value_col="value", epoch=True)
+    t1h = rollup.fold_up(t1m, "1h", keys=["event_type"], epoch=True)
+    return rollup.with_mean(t1h)
+
+
+# ---------------------------------------------------------------------------
+# queries + oracles
+# ---------------------------------------------------------------------------
+
+def _q_rollup_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = rollup.rollup_raw(_events(spark, sf_dir), "1m", ["event_type"], "ts", "value", epoch=True)
+    return t.select(
+        "event_type", "bucket_ts", _r2(F.col("tok_sum")).alias("tok_sum"),
+        "tok_count", "tok_min", "tok_max",
+    )
+
+
+_SQL_ROLLUP_1M = """
+WITH e AS (
+  SELECT event_type,
+         es - es % 60 AS bucket_ts, value
+  FROM (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS es, value FROM events)
+)
+SELECT event_type, bucket_ts,
+       round(sum(value), 2) AS tok_sum,
+       count(value) AS tok_count,
+       min(value) AS tok_min,
+       max(value) AS tok_max
+FROM e GROUP BY event_type, bucket_ts
+"""
+
+
+def _q_rollup_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t1m = rollup.rollup_raw(_events(spark, sf_dir), "1m", ["event_type"], "ts", "value", epoch=True)
+    t1h = rollup.with_mean(rollup.fold_up(t1m, "1h", keys=["event_type"], epoch=True))
+    return t1h.select(
+        "event_type", "bucket_ts", _r2(F.col("tok_sum")).alias("tok_sum"),
+        "tok_count", "tok_min", "tok_max",
+        (_r2(F.col("tok_sum")) / F.col("tok_count")).alias("tok_mean"),
+    )
+
+
+_SQL_ROLLUP_1H = """
+WITH e AS (
+  SELECT event_type, es - es % 3600 AS bucket_ts, value
+  FROM (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS es, value FROM events)
+)
+SELECT event_type, bucket_ts,
+       round(sum(value), 2) AS tok_sum,
+       count(value) AS tok_count,
+       min(value) AS tok_min,
+       max(value) AS tok_max,
+       round(sum(value), 2) / count(value) AS tok_mean
+FROM e GROUP BY event_type, bucket_ts
+"""
+
+
+def _q_rollup_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t1m = rollup.rollup_raw(_events(spark, sf_dir), "1m", ["event_type"], "ts", "value", epoch=True)
+    t1h = rollup.fold_up(t1m, "1h", keys=["event_type"], epoch=True)
+    t1d = rollup.fold_up(t1h, "1d", keys=["event_type"], epoch=True)
+    return t1d.select(
+        "event_type", "bucket_ts", _r2(F.col("tok_sum")).alias("tok_sum"),
+        "tok_count", "tok_min", "tok_max",
+    )
+
+
+_SQL_ROLLUP_1D = """
+WITH e AS (
+  SELECT event_type, es - es % 86400 AS bucket_ts, value
+  FROM (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS es, value FROM events)
+)
+SELECT event_type, bucket_ts,
+       round(sum(value), 2) AS tok_sum,
+       count(value) AS tok_count,
+       min(value) AS tok_min,
+       max(value) AS tok_max
+FROM e GROUP BY event_type, bucket_ts
+"""
+
+
+def _q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = rollup.grouping_rollup(
+        _events(spark, sf_dir).withColumnRenamed("event_type", "source"),
+        "1d", "ts", "value", epoch=True,
+    )
+    return g.select(
+        "source", "bucket_ts", _r2(F.col("tok_sum")).alias("tok_sum"),
+        "tok_count", F.col("grouping_level").cast("int").alias("grouping_level"),
+    )
+
+
+_SQL_GROUPING_SETS = """
+WITH e AS (
+  SELECT event_type AS source, es - es % 86400 AS bucket_ts, value
+  FROM (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS es, value FROM events)
+)
+SELECT source, bucket_ts,
+       round(sum(value), 2) AS tok_sum,
+       count(value) AS tok_count,
+       CAST(CASE WHEN GROUPING(source) = 1 THEN 3
+                 WHEN GROUPING(bucket_ts) = 1 THEN 1
+                 ELSE 0 END AS INTEGER) AS grouping_level
+FROM e GROUP BY ROLLUP (source, bucket_ts)
+"""
+
+
+def _q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t1d = rollup.rollup_raw(_events(spark, sf_dir), "1d", ["event_type"], "ts", "value", epoch=True)
+    top = rollup.top_k_sources(t1d.withColumnRenamed("event_type", "source"), k=3)
+    return top.select("source", _r2(F.col("total_tok")).alias("total_tok"))
+
+
+_SQL_TOPK = """
+SELECT event_type AS source, round(sum(value), 2) AS total_tok
+FROM events GROUP BY event_type
+ORDER BY sum(value) DESC, event_type ASC LIMIT 3
+"""
+
+
+def _q_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t1h = rollup.rollup_raw(_events(spark, sf_dir), "1h", ["event_type"], "ts", "value", epoch=True)
+    t1h = t1h.withColumn("tok_sum", _r2(F.col("tok_sum")))
+    r = rolling.rolling_stats(t1h, "tok_sum", k=3, keys=["event_type"], order_col="bucket_ts")
+    return r.select(
+        "event_type", "bucket_ts",
+        (_r2(F.col("roll_sum")) / F.col("roll_count")).alias("roll_mean"),
+        _r2(F.col("roll_min")).alias("roll_min"),
+        _r2(F.col("roll_max")).alias("roll_max"),
+        _r2(F.col("roll_sum")).alias("roll_sum"),
+        _sci(F.col("roll_std")).alias("roll_std"),
+        "roll_count",
+    )
+
+
+_SQL_ROLLING = """
+WITH b AS (
+  SELECT event_type, es - es % 3600 AS bucket_ts, round(sum(value), 2) AS tok_sum
+  FROM (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS es, value FROM events)
+  GROUP BY event_type, bucket_ts
+)
+SELECT event_type, bucket_ts,
+       round(sum(tok_sum) OVER w, 2) / count(tok_sum) OVER w AS roll_mean,
+       round(min(tok_sum) OVER w, 2) AS roll_min,
+       round(max(tok_sum) OVER w, 2) AS roll_max,
+       round(sum(tok_sum) OVER w, 2) AS roll_sum,
+       printf('%.5e', stddev_samp(tok_sum) OVER w) AS roll_std,
+       count(tok_sum) OVER w AS roll_count
+FROM b
+WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
+
+
+def _q_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t1h = rollup.rollup_raw(_events(spark, sf_dir), "1h", ["event_type"], "ts", "value", epoch=True)
+    dense = gapfill.densify(t1h, "1h", keys=["event_type"])
+    filled = gapfill.locf(dense, ["tok_sum"], keys=["event_type"])
+    return filled.select(
+        "event_type", "bucket_ts", _r2(F.col("tok_sum")).alias("tok_sum_locf"), "tok_count"
+    )
+
+
+_SQL_GAPFILL_LOCF = """
+WITH b AS (
+  SELECT event_type, es - es % 3600 AS bucket_ts,
+         sum(value) AS tok_sum, count(value) AS tok_count
+  FROM (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS es, value FROM events)
+  GROUP BY event_type, bucket_ts
+),
+bounds AS (SELECT event_type, min(bucket_ts) AS lo, max(bucket_ts) AS hi FROM b GROUP BY event_type),
+spine AS (SELECT event_type, unnest(generate_series(lo, hi, 3600)) AS bucket_ts FROM bounds),
+dense AS (
+  SELECT s.event_type, s.bucket_ts, b.tok_sum, coalesce(b.tok_count, 0) AS tok_count
+  FROM spine s LEFT JOIN b ON s.event_type = b.event_type AND s.bucket_ts = b.bucket_ts
+)
+SELECT event_type, bucket_ts,
+       round(last_value(tok_sum IGNORE NULLS) OVER
+         (PARTITION BY event_type ORDER BY bucket_ts
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS tok_sum_locf,
+       tok_count
+FROM dense
+"""
+
+
+def _q_gapfill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t1h = rollup.rollup_raw(_events(spark, sf_dir), "1h", ["event_type"], "ts", "value", epoch=True)
+    dense = gapfill.densify(
+        t1h.select("event_type", "bucket_ts", _r2(F.col("tok_sum")).alias("tok_sum")), "1h", keys=["event_type"]
+    )
+    filled = gapfill.interpolate_linear(dense, ["tok_sum"], keys=["event_type"])
+    return filled.select("event_type", "bucket_ts", F.col("tok_sum").alias("tok_sum_interp"))
+
+
+_SQL_GAPFILL_LINEAR = """
+WITH b AS (
+  SELECT event_type, es - es % 3600 AS bucket_ts, round(sum(value), 2) AS tok_sum
+  FROM (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS es, value FROM events)
+  GROUP BY event_type, bucket_ts
+),
+bounds AS (SELECT event_type, min(bucket_ts) AS lo, max(bucket_ts) AS hi FROM b GROUP BY event_type),
+spine AS (SELECT event_type, unnest(generate_series(lo, hi, 3600)) AS bucket_ts FROM bounds),
+dense AS (
+  SELECT s.event_type, s.bucket_ts, b.tok_sum
+  FROM spine s LEFT JOIN b ON s.event_type = b.event_type AND s.bucket_ts = b.bucket_ts
+),
+anch AS (
+  SELECT event_type, bucket_ts, tok_sum,
+         last_value(tok_sum IGNORE NULLS) OVER wb AS prev_v,
+         first_value(tok_sum IGNORE NULLS) OVER wf AS next_v,
+         last_value(CASE WHEN tok_sum IS NOT NULL THEN CAST(bucket_ts AS DOUBLE) END IGNORE NULLS) OVER wb AS prev_t,
+         first_value(CASE WHEN tok_sum IS NOT NULL THEN CAST(bucket_ts AS DOUBLE) END IGNORE NULLS) OVER wf AS next_t
+  FROM dense
+  WINDOW wb AS (PARTITION BY event_type ORDER BY bucket_ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY event_type ORDER BY bucket_ts ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_type, bucket_ts,
+       CASE
+         WHEN tok_sum IS NOT NULL THEN CAST(tok_sum AS DOUBLE)
+         WHEN prev_v IS NULL THEN CAST(next_v AS DOUBLE)
+         WHEN next_v IS NULL THEN CAST(prev_v AS DOUBLE)
+         ELSE prev_v + (next_v - prev_v) * ((CAST(bucket_ts AS DOUBLE) - prev_t) / (next_t - prev_t))
+       END AS tok_sum_interp
+FROM anch
+"""
+
+
+def _q_lag_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t1h = rollup.rollup_raw(_events(spark, sf_dir), "1h", ["event_type"], "ts", "value", epoch=True)
+    m = rolling.lag_moments(
+        t1h.select("event_type", "bucket_ts", (_r2(F.col("tok_sum")) / F.col("tok_count")).alias("v")),
+        "v", max_lag=3, keys=["event_type"], order_col="bucket_ts",
+    )
+    return m.select(
+        "event_type", "lag",
+        _sci(F.col("gamma_j")).alias("gamma_j"),
+        _sci(F.col("tau_j")).alias("tau_j"),
+        _sci(F.col("rho_tilde_sq")).alias("rho_tilde_sq"),
+    )
+
+
+_SQL_LAG_MOMENTS = """
+WITH b AS (
+  SELECT event_type, es - es % 3600 AS bucket_ts, round(sum(value), 2) / count(value) AS v
+  FROM (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS es, value FROM events)
+  GROUP BY event_type, bucket_ts
+),
+m AS (SELECT event_type, avg(v) AS ybar, count(*) AS n FROM b GROUP BY event_type),
+d AS (
+  SELECT b.event_type, b.bucket_ts, b.v - m.ybar AS dev, m.n
+  FROM b JOIN m ON b.event_type = m.event_type
+),
+lagged AS (
+  SELECT event_type, n, dev,
+         lag(dev, 1) OVER w AS l1, lag(dev, 2) OVER w AS l2, lag(dev, 3) OVER w AS l3
+  FROM d WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts)
+),
+stacked AS (
+  SELECT event_type, n, 1 AS lag, dev * l1 AS g, dev * dev * l1 * l1 AS tau FROM lagged WHERE l1 IS NOT NULL
+  UNION ALL
+  SELECT event_type, n, 2 AS lag, dev * l2 AS g, dev * dev * l2 * l2 AS tau FROM lagged WHERE l2 IS NOT NULL
+  UNION ALL
+  SELECT event_type, n, 3 AS lag, dev * l3 AS g, dev * dev * l3 * l3 AS tau FROM lagged WHERE l3 IS NOT NULL
+)
+SELECT event_type, lag,
+       printf('%.5e', sum(g) / (max(n) - lag)) AS gamma_j,
+       printf('%.5e', sum(tau) / (max(n) - lag)) AS tau_j,
+       printf('%.5e', (sum(g) / (max(n) - lag)) ^ 2 / (sum(tau) / (max(n) - lag))) AS rho_tilde_sq
+FROM stacked GROUP BY event_type, lag
+"""
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _documents(spark, sf_dir)
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct(F.md5("text")).alias("n_distinct_text"),
+        )
+        .withColumn("n_dupes", F.col("n_docs") - F.col("n_distinct_text"))
+    )
+
+
+_SQL_DEDUP_EXACT = """
+SELECT source, count(*) AS n_docs,
+       count(DISTINCT md5(text)) AS n_distinct_text,
+       count(*) - count(DISTINCT md5(text)) AS n_dupes
+FROM documents GROUP BY source
+"""
+
+
+def _q_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _documents(spark, sf_dir)
+    words = F.split(F.col("text"), " ")
+    uniq = F.array_distinct(words)
+    return d.select(
+        "doc_id", "source",
+        F.size(words).alias("n_ws_tokens"),
+        F.size(uniq).alias("n_distinct_tokens"),
+        (F.size(uniq).cast("double") / F.size(words)).alias("ttr"),
+        (F.col("n_chars").cast("double") / F.size(words)).alias("chars_per_token"),
+    )
+
+
+_SQL_DOC_TOKENS = """
+SELECT doc_id, source,
+       len(string_split(text, ' ')) AS n_ws_tokens,
+       len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+       CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' ')) AS ttr,
+       CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')) AS chars_per_token
+FROM documents
+"""
+
+
+def _q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _documents(spark, sf_dir)
+    words = d.select(
+        "doc_id", "source", F.explode(F.array_distinct(F.split("text", " "))).alias("word")
+    )
+    sizes = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        words.alias("a")
+        .join(words.alias("b"), (F.col("a.word") == F.col("b.word")) & (F.col("a.source") == F.col("b.source")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(F.broadcast(sizes).withColumnRenamed("doc_id", "d1").withColumnRenamed("sz", "sz1"), "d1")
+        .join(F.broadcast(sizes).withColumnRenamed("doc_id", "d2").withColumnRenamed("sz", "sz2"), "d2")
+        .select(
+            "d1", "d2", "inter",
+            (F.col("sz1") + F.col("sz2") - F.col("inter")).alias("union_sz"),
+            (F.col("inter").cast("double") / (F.col("sz1") + F.col("sz2") - F.col("inter"))).alias("jaccard"),
+        )
+    )
+
+
+_SQL_JACCARD = """
+WITH w AS (
+  SELECT doc_id, source, unnest(list_distinct(string_split(text, ' '))) AS word FROM documents
+),
+sz AS (SELECT doc_id, count(*) AS sz FROM w GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+  FROM w a JOIN w b ON a.word = b.word AND a.source = b.source AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT d1, d2, inter,
+       s1.sz + s2.sz - inter AS union_sz,
+       CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) AS jaccard
+FROM inter JOIN sz s1 ON inter.d1 = s1.doc_id JOIN sz s2 ON inter.d2 = s2.doc_id
+"""
+
+
+def _q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _embeddings(spark, sf_dir)
+    sq = F.aggregate(
+        F.transform(F.col("embedding"), lambda x: x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x * x,
+    )
+    return e.select("vec_id", "label", F.size("embedding").alias("dim"), _sci(F.sqrt(sq)).alias("l2_norm"))
+
+
+_SQL_EMBEDDING_NORMS = """
+SELECT vec_id, label, len(embedding) AS dim,
+       printf('%.5e', sqrt(sq)) AS l2_norm
+FROM (
+  SELECT vec_id, label, embedding,
+         (SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) FROM unnest(embedding) AS t(x)) AS sq
+  FROM embeddings
+)
+"""
+
+
+def _q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA over hourly mean series — recursive; rows-only check (golden
+    numerics in tests/test_recursion.py)."""
+    t1h = rollup.rollup_raw(_events(spark, sf_dir), "1h", ["event_type"], "ts", "value", epoch=True)
+    series = t1h.select(
+        F.col("event_type").alias("key"), F.col("bucket_ts").alias("t"),
+        (_r2(F.col("tok_sum")) / F.col("tok_count")).alias("v"),
+    )
+    return recursion.ewma(series, ["key"], alpha=0.3, order_col="t").select(
+        "key", "t", "v", _sci(F.col("psi")).alias("ewma")
+    )
+
+
+def _q_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACD(1,1) ψ forecast per event_type — recursive; rows-only check."""
+    t1h = rollup.rollup_raw(_events(spark, sf_dir), "1h", ["event_type"], "ts", "value", epoch=True)
+    series = t1h.select(
+        F.col("event_type").alias("key"), F.col("bucket_ts").alias("t"),
+        (_r2(F.col("tok_sum")) / F.col("tok_count")).alias("v"),
+    )
+    return recursion.acd_forecast(series, ["key"], omega=0.2, alpha=[0.2], beta=[0.3], horizon=8).select(
+        "key", "h", _sci(F.col("psi_hat")).alias("psi_hat")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "rollup_1m": _q_rollup_1m,
+        "rollup_1h_fold": _q_rollup_1h,
+        "rollup_1d_fold": _q_rollup_1d,
+        "rollup_grouping_sets": _q_grouping_sets,
+        "topk_sources": _q_topk,
+        "rolling_stats_3h": _q_rolling,
+        "gapfill_locf_1h": _q_gapfill_locf,
+        "gapfill_linear_1h": _q_gapfill_linear,
+        "lag_moments": _q_lag_moments,
+        "dedup_exact": _q_dedup_exact,
+        "doc_token_stats": _q_doc_tokens,
+        "ngram_jaccard": _q_jaccard,
+        "embedding_norms": _q_embedding_norms,
+        "ewma_1h": _q_ewma,
+        "acd_forecast_1h": _q_forecast,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "rollup_1m": _SQL_ROLLUP_1M,
+        "rollup_1h_fold": _SQL_ROLLUP_1H,
+        "rollup_1d_fold": _SQL_ROLLUP_1D,
+        "rollup_grouping_sets": _SQL_GROUPING_SETS,
+        "topk_sources": _SQL_TOPK,
+        "rolling_stats_3h": _SQL_ROLLING,
+        "gapfill_locf_1h": _SQL_GAPFILL_LOCF,
+        "gapfill_linear_1h": _SQL_GAPFILL_LINEAR,
+        "lag_moments": _SQL_LAG_MOMENTS,
+        "dedup_exact": _SQL_DEDUP_EXACT,
+        "doc_token_stats": _SQL_DOC_TOKENS,
+        "ngram_jaccard": _SQL_JACCARD,
+        "embedding_norms": _SQL_EMBEDDING_NORMS,
+        # ewma_1h / acd_forecast_1h: recursive — rows-only by design
+    }

@@ -1,0 +1,149 @@
+"""Deterministic synthetic data generators.
+
+Two families:
+
+1. ``token_table`` — the engine's authoritative input shape
+   ``(doc_id string, tokens array<int>, n_tok int, source string)``
+   (FIXTURES.md F-1). Generated fully JVM-side with ``spark.range`` +
+   hash expressions so it scales to any row count without driver
+   involvement — the same recipe works at 10^12 rows on a cluster.
+   Deterministic in (n_rows, seed) only.
+
+2. Small numpy fixtures for the statistical kernels (durations,
+   residuals, score matrices — FIXTURES.md F-2/F-3/F-4), mirroring the
+   reference's own test fixtures (reference
+   tests/integration_acd_pipline.rs:83-90, .github/workflows/ci.yml:86-89).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .constants import DEFAULT_SEED, VOCAB_SIZE
+
+# ~20 Zipf-weighted source names (FIXTURES.md F-1): weight(i) ∝ 1/(i+1).
+SOURCE_NAMES = [
+    "web", "code", "books", "wiki", "news", "forums", "papers", "social",
+    "docs", "mail", "chat", "legal", "patents", "subtitles", "recipes",
+    "reviews", "qa", "logs", "transcripts", "misc",
+]
+
+EPOCH = "2026-01-01 00:00:00"
+EPOCH_UNIX = 1767225600  # 2026-01-01T00:00:00Z
+
+
+def _zipf_slots(n_slots: int = 1000) -> list[str]:
+    """Slot table for inverse-CDF sampling of the Zipf source mix."""
+    w = 1.0 / (np.arange(len(SOURCE_NAMES)) + 1.0)
+    w /= w.sum()
+    counts = np.maximum(1, np.round(w * n_slots).astype(int))
+    slots: list[str] = []
+    for name, c in zip(SOURCE_NAMES, counts):
+        slots.extend([name] * int(c))
+    return slots[:n_slots] if len(slots) >= n_slots else slots + [SOURCE_NAMES[0]] * (n_slots - len(slots))
+
+
+def token_table(
+    spark: SparkSession,
+    n_rows: int,
+    seed: int = DEFAULT_SEED,
+    max_len: int = 2048,
+    horizon_seconds: int = 7 * 24 * 3600,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic token table: (doc_id, tokens, n_tok, source).
+
+    Everything is a pure function of (doc_id, seed) via xxhash64, so the
+    table is reproducible at any parallelism and any scale; no Python
+    executes per row. ``n_tok == size(tokens)`` holds by construction
+    (the BASELINE.json per-row invariant).
+    """
+    df = spark.range(0, n_rows, 1, numPartitions=num_partitions)
+    df = df.withColumn("doc_id", F.format_string("doc-%012d", F.col("id")))
+    h = lambda salt: F.xxhash64(F.col("doc_id"), F.lit(seed), F.lit(salt))  # noqa: E731
+    slots = _zipf_slots()
+    df = (
+        df.withColumn("n_tok", (F.pmod(h("len"), F.lit(max_len)) + F.lit(1)).cast("int"))
+        .withColumn(
+            "tokens",
+            F.transform(
+                F.sequence(F.lit(1), F.col("n_tok")),
+                lambda i: F.pmod(F.xxhash64(F.col("doc_id"), F.lit(seed), i), F.lit(VOCAB_SIZE)).cast("int"),
+            ),
+        )
+        .withColumn(
+            "source",
+            F.element_at(
+                F.array(*[F.lit(s) for s in slots]),
+                (F.pmod(h("src"), F.lit(len(slots))) + F.lit(1)).cast("int"),
+            ),
+        )
+        .select("doc_id", "tokens", "n_tok", "source")
+    )
+    return df
+
+
+def with_event_time(df: DataFrame, seed: int = DEFAULT_SEED, horizon_seconds: int = 7 * 24 * 3600) -> DataFrame:
+    """Derive the deterministic event timestamp for each sequence.
+
+    ``ts = epoch + (xxhash64(doc_id) mod horizon)`` seconds
+    (FIXTURES.md F-1) — not stored in the raw table, derived identically
+    everywhere it is needed.
+    """
+    off = F.pmod(F.xxhash64(F.col("doc_id"), F.lit(seed), F.lit("ts")), F.lit(horizon_seconds))
+    return df.withColumn("ts", F.timestamp_seconds(F.lit(EPOCH_UNIX) + off))
+
+
+# ---------------------------------------------------------------------------
+# numpy fixtures (FIXTURES.md F-2/F-3/F-4) — small, driver-side by design
+# ---------------------------------------------------------------------------
+
+def trending_durations(n: int, base: float, slope: float | None = None) -> np.ndarray:
+    """``x_t = max(base + slope·t, base)`` — the reference's integration
+    fixture (tests/integration_acd_pipline.rs:83-90)."""
+    if slope is None:
+        slope = 0.01 * base
+    t = np.arange(n, dtype=np.float64)
+    return np.maximum(base + slope * t, base)
+
+
+def noisy_durations(n: int = 200, seed: int = 12345) -> np.ndarray:
+    """``1 + |N(1, 0.2)|`` — the reference CI smoke fixture
+    (.github/workflows/ci.yml:86-89)."""
+    rng = np.random.default_rng(seed)
+    return 1.0 + np.abs(rng.normal(1.0, 0.2, size=n))
+
+
+def normal_residuals(n: int = 200, seed: int = 12345) -> np.ndarray:
+    """N(0,1) residuals — EL smoke fixture (ci.yml:76-77)."""
+    rng = np.random.default_rng(seed)
+    return rng.normal(0.0, 1.0, size=n)
+
+
+def ar1_residuals(n: int, phi: float = 0.5, seed: int = 12345) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    eps = rng.normal(0.0, 1.0, size=n)
+    out = np.empty(n)
+    acc = 0.0
+    for i in range(n):
+        acc = phi * acc + eps[i]
+        out[i] = acc
+    return out
+
+
+def iid_scores(n: int = 300, k: int = 4, seed: int = 12345) -> np.ndarray:
+    """N(0,1) iid score matrix — HAC smoke fixture (ci.yml:116)."""
+    rng = np.random.default_rng(seed)
+    return rng.normal(0.0, 1.0, size=(n, k))
+
+
+def series_df(spark: SparkSession, keyed_arrays: dict[str, np.ndarray]) -> DataFrame:
+    """Pack {key: 1-D array} into a (key string, t long, v double) DataFrame."""
+    rows = [
+        (k, int(t), float(v))
+        for k, arr in keyed_arrays.items()
+        for t, v in enumerate(np.asarray(arr, dtype=np.float64))
+    ]
+    return spark.createDataFrame(rows, "key string, t long, v double")

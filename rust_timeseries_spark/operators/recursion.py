@@ -1,0 +1,306 @@
+"""EWMA / ACD(p,q) ψ-recursion and forecast kernels.
+
+The one operator family Spark windows cannot express (each output feeds
+the next input), so it runs as per-key ``applyInPandas`` kernels: Spark
+shuffles each key's rows to one Python worker, Arrow hands the kernel a
+contiguous batch, numpy runs the exact reference recursion, Arrow hands
+the result back. Shared-nothing across keys — the distributed analogue
+of the reference's single-threaded per-series loop.
+
+Numerical semantics are pinned bit-for-bit to the reference:
+
+* recursion  ``ψ_t = ω + Σᵢ αᵢ τ_{t−i} + Σⱼ βⱼ ψ_{t−j}``, duration lags
+  spliced ``k_init = max(0, q−t)`` pre-sample + ``k_data`` observed and
+  read **reversed** (newest→oldest); ψ-lags read as the *forward* slice
+  ``psi_buf[t..t+p]`` dotted with β as-is (reference
+  src/duration/core/psi.rs:576-604, buffer layout psi.rs:45-49);
+* clamping of every ψ into ``[min,max]`` *before* it is stored and fed
+  to later steps (``guard_psi``, psi.rs:315-325);
+* init policies UncondMean / SampleMean / Fixed / FixedVector seeding
+  both the ψ- and duration-lag buffers (``extract_init``,
+  psi.rs:403-427; ``Init``, src/duration/core/init.rs:132-145);
+* out-of-sample forecast splicing observed tails with already-forecast
+  values, all four tails reversed (``forecast_recursion``,
+  src/duration/core/forecasts.rs:263-290); ``τ̂ = ψ̂`` under unit-mean
+  innovations.
+
+At target scale the recursion runs on *bucketed tier series* (minutes/
+hours per source), i.e. the 10^12-row problem is first collapsed by the
+rollup; each key's kernel input is bounded by the calendar, not the data.
+For a pathological single giant key, ``ewma_segment_scan`` provides the
+parallel-prefix escape hatch (SURVEY.md §4.3.1) at tolerance (not bit)
+parity.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from ..constants import DEFAULT_PSI_GUARDS
+
+INIT_POLICIES = ("uncond_mean", "sample_mean", "fixed", "fixed_vector")
+
+
+def seed_init(
+    init: str,
+    omega: float,
+    alpha: np.ndarray,
+    beta: np.ndarray,
+    sample_mean: float,
+    p: int,
+    q: int,
+    fixed_value: float | None = None,
+    psi_lags: np.ndarray | None = None,
+    duration_lags: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Pre-sample (ψ-lags, duration-lags) per Init policy
+    (reference psi.rs:403-427; uncond mean workspace.rs:349-353)."""
+    if init == "uncond_mean":
+        mu = omega / (1.0 - float(np.sum(alpha)) - float(np.sum(beta)))
+        return np.full(p, mu), np.full(q, mu)
+    if init == "sample_mean":
+        return np.full(p, sample_mean), np.full(q, sample_mean)
+    if init == "fixed":
+        if fixed_value is None:
+            raise ValueError("init='fixed' requires fixed_value")
+        return np.full(p, float(fixed_value)), np.full(q, float(fixed_value))
+    if init == "fixed_vector":
+        if psi_lags is None or duration_lags is None:
+            raise ValueError("init='fixed_vector' requires psi_lags and duration_lags")
+        pl = np.asarray(psi_lags, dtype=np.float64)
+        dl = np.asarray(duration_lags, dtype=np.float64)
+        if pl.shape != (p,) or dl.shape != (q,):
+            raise ValueError(f"fixed_vector lags must have shapes ({p},)/({q},)")
+        return pl.copy(), dl.copy()
+    raise ValueError(f"unknown init policy {init!r}; expected one of {INIT_POLICIES}")
+
+
+def psi_recursion_np(
+    x: np.ndarray,
+    omega: float,
+    alpha: np.ndarray,
+    beta: np.ndarray,
+    psi_init: np.ndarray,
+    dur_init: np.ndarray,
+    guards: tuple[float, float] = DEFAULT_PSI_GUARDS,
+) -> np.ndarray:
+    """Exact replica of the reference recursion loop (psi.rs:576-604).
+
+    Returns ψ_0..ψ_{n−1}. p = len(beta), q = len(alpha); p and q are
+    model orders (≤ a few), so the dots below are tiny ordered loops —
+    no BLAS reordering, bit-stable.
+    """
+    x = np.asarray(x, dtype=np.float64)
+    alpha = np.asarray(alpha, dtype=np.float64)
+    beta = np.asarray(beta, dtype=np.float64)
+    p, q, n = len(beta), len(alpha), len(x)
+    gmin, gmax = guards
+    psi_buf = np.empty(p + n, dtype=np.float64)
+    psi_buf[:p] = psi_init
+    for t in range(n):
+        k_init = max(0, q - t)
+        k_data = q - k_init
+        # duration lags: pre-sample tail then observed tail, each reversed
+        sum_alpha = float(alpha[:k_init] @ dur_init[q - k_init : q][::-1]) + float(
+            alpha[k_init:q] @ x[t - k_data : t][::-1]
+        )
+        # ψ-lags: forward slice, β applied as-is (psi.rs:597-600)
+        new_psi = omega + sum_alpha + float(beta @ psi_buf[t : t + p])
+        if new_psi < gmin:
+            new_psi = gmin
+        elif new_psi > gmax:
+            new_psi = gmax
+        psi_buf[p + t] = new_psi
+    return psi_buf[p:]
+
+
+def forecast_np(
+    omega: float,
+    alpha: np.ndarray,
+    beta: np.ndarray,
+    psi_lags: np.ndarray,
+    duration_lags: np.ndarray,
+    horizon: int,
+    guards: tuple[float, float] = DEFAULT_PSI_GUARDS,
+) -> np.ndarray:
+    """Exact replica of forecast_recursion (forecasts.rs:263-290).
+
+    ``psi_lags``/``duration_lags`` ordered oldest→newest (the last p ψ
+    values / last q observed durations). Returns ψ̂_{T+1..T+H}.
+    """
+    alpha = np.asarray(alpha, dtype=np.float64)
+    beta = np.asarray(beta, dtype=np.float64)
+    psi_lags = np.asarray(psi_lags, dtype=np.float64)
+    duration_lags = np.asarray(duration_lags, dtype=np.float64)
+    q, p = len(alpha), len(beta)
+    gmin, gmax = guards
+    fc = np.empty(horizon, dtype=np.float64)
+    for i in range(horizon):
+        k_init = max(0, q - i)
+        k_data = q - k_init
+        n_fc = min(i, p)
+        n_in = p - n_fc
+        sum_alpha = float(alpha[:k_init] @ duration_lags[q - k_init : q][::-1]) + float(
+            alpha[k_init:] @ fc[i - k_data : i][::-1]
+        )
+        sum_beta = float(beta[:n_in] @ psi_lags[p - n_in : p][::-1]) + float(
+            beta[n_in:] @ fc[i - n_fc : i][::-1]
+        )
+        v = omega + sum_alpha + sum_beta
+        if v < gmin:
+            v = gmin
+        elif v > gmax:
+            v = gmax
+        fc[i] = v
+    return fc
+
+
+# ---------------------------------------------------------------------------
+# Spark-level operators
+# ---------------------------------------------------------------------------
+
+def acd_psi(
+    df: DataFrame,
+    keys: list[str],
+    omega: float,
+    alpha: Iterable[float],
+    beta: Iterable[float],
+    value_col: str = "v",
+    order_col: str = "t",
+    init: str = "uncond_mean",
+    fixed_value: float | None = None,
+    psi_lags: Iterable[float] | None = None,
+    duration_lags: Iterable[float] | None = None,
+    guards: tuple[float, float] = DEFAULT_PSI_GUARDS,
+) -> DataFrame:
+    """Per-key ψ path: (keys..., order_col, value_col, psi).
+
+    One ``applyInPandas`` group per key; rows are sorted by ``order_col``
+    inside the kernel (Spark does not guarantee group order), mirroring
+    the reference's oldest→newest convention (src/duration/mod.rs:47-49).
+    """
+    alpha_a = np.asarray(list(alpha), dtype=np.float64)
+    beta_a = np.asarray(list(beta), dtype=np.float64)
+    p, q = len(beta_a), len(alpha_a)
+    psi_l = np.asarray(list(psi_lags), dtype=np.float64) if psi_lags is not None else None
+    dur_l = np.asarray(list(duration_lags), dtype=np.float64) if duration_lags is not None else None
+
+    key_fields = [df.schema[k] for k in keys]
+    out_schema = T.StructType(
+        [
+            *key_fields,
+            df.schema[order_col],
+            T.StructField(value_col, T.DoubleType()),
+            T.StructField("psi", T.DoubleType()),
+        ]
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col, kind="mergesort")
+        x = pdf[value_col].to_numpy(dtype=np.float64)
+        pi, di = seed_init(
+            init, omega, alpha_a, beta_a, float(np.mean(x)), p, q,
+            fixed_value=fixed_value, psi_lags=psi_l, duration_lags=dur_l,
+        )
+        psi = psi_recursion_np(x, omega, alpha_a, beta_a, pi, di, guards)
+        out = pdf[[*keys, order_col]].copy()
+        out[value_col] = x
+        out["psi"] = psi
+        return out
+
+    return df.select(*keys, order_col, value_col).groupBy(*keys).applyInPandas(kernel, out_schema)
+
+
+def ewma(
+    df: DataFrame,
+    keys: list[str],
+    alpha: float,
+    value_col: str = "v",
+    order_col: str = "t",
+    init: str = "sample_mean",
+    fixed_value: float | None = None,
+    guards: tuple[float, float] = (float("-inf"), float("inf")),
+) -> DataFrame:
+    """EWMA as the reference's own generalization: ACD(1,1) with ω=0,
+    α=smoothing, β=1−smoothing → ``ψ_t = α·x_{t−1} + (1−α)·ψ_{t−1}``
+    (SURVEY.md W1, EWMA special case). The output column is ``psi``."""
+    return acd_psi(
+        df, keys, omega=0.0, alpha=[alpha], beta=[1.0 - alpha],
+        value_col=value_col, order_col=order_col, init=init,
+        fixed_value=fixed_value, guards=guards,
+    )
+
+
+def acd_forecast(
+    df: DataFrame,
+    keys: list[str],
+    omega: float,
+    alpha: Iterable[float],
+    beta: Iterable[float],
+    horizon: int,
+    value_col: str = "v",
+    order_col: str = "t",
+    init: str = "uncond_mean",
+    fixed_value: float | None = None,
+    guards: tuple[float, float] = DEFAULT_PSI_GUARDS,
+) -> DataFrame:
+    """Per-key H-step ψ̂ forecast: runs the in-sample recursion to get the
+    last p ψ-lags and last q durations (reference acd.rs:374-376 tail-q
+    projection), then the forecast recursion. Output: one row per
+    (keys..., h) with h = 1..horizon."""
+    alpha_a = np.asarray(list(alpha), dtype=np.float64)
+    beta_a = np.asarray(list(beta), dtype=np.float64)
+    p, q = len(beta_a), len(alpha_a)
+
+    key_fields = [df.schema[k] for k in keys]
+    out_schema = T.StructType(
+        [*key_fields, T.StructField("h", T.IntegerType()), T.StructField("psi_hat", T.DoubleType())]
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col, kind="mergesort")
+        x = pdf[value_col].to_numpy(dtype=np.float64)
+        pi, di = seed_init(init, omega, alpha_a, beta_a, float(np.mean(x)), p, q, fixed_value=fixed_value)
+        psi = psi_recursion_np(x, omega, alpha_a, beta_a, pi, di, guards)
+        # last p ψ values / last q durations, oldest→newest
+        psi_tail = psi[len(psi) - p :] if p > 0 else np.empty(0)
+        dur_tail = x[len(x) - q :] if q > 0 else np.empty(0)
+        fc = forecast_np(omega, alpha_a, beta_a, psi_tail, dur_tail, horizon, guards)
+        out = pd.DataFrame({k: [pdf[k].iloc[0]] * horizon for k in keys})
+        out["h"] = np.arange(1, horizon + 1, dtype=np.int32)
+        out["psi_hat"] = fc
+        return out
+
+    return df.select(*keys, order_col, value_col).groupBy(*keys).applyInPandas(kernel, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Parallel-prefix escape hatch for one giant key (SURVEY.md §4.3.1)
+# ---------------------------------------------------------------------------
+
+def ewma_affine_segments(x: np.ndarray, alpha: float, beta: float, omega: float, n_seg: int):
+    """Split an EWMA/ACD(1,1) series into segments and return per-segment
+    affine maps ψ_end = A·ψ_start + b (the recursion ψ_t = β ψ_{t−1} +
+    (ω + α x_{t−1}) is an affine scan, composable across segments).
+
+    Composition reorders float ops, so this path is tolerance-parity
+    (~1e-12 relative), not bit parity — use only when a single key
+    exceeds one worker's memory. Returns (bounds, A, b) for driver-side
+    prefix composition."""
+    n = len(x)
+    bounds = np.linspace(0, n, n_seg + 1, dtype=np.int64)
+    A = np.empty(n_seg)
+    b = np.empty(n_seg)
+    for s in range(n_seg):
+        lo, hi = bounds[s], bounds[s + 1]
+        a_acc, b_acc = 1.0, 0.0
+        for t in range(lo, hi):
+            c_t = omega + alpha * (x[t - 1] if t > 0 else 0.0)
+            a_acc, b_acc = beta * a_acc, beta * b_acc + c_t
+        A[s], b[s] = a_acc, b_acc
+    return bounds, A, b

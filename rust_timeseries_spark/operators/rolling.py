@@ -1,0 +1,103 @@
+"""Rolling-window statistics and lagged moment statistics.
+
+Two families, both over a key's time-ordered bucket series:
+
+* **Trailing rolling stats** (north-rule W11): mean/min/max/std/sum over
+  the trailing k buckets — native Spark window frames, whole-stage
+  codegen, one sort per key group.
+
+* **Lagged moments** (reference semantics, SURVEY.md W6/W7/J1):
+  unbiased lag-j autocovariance γ̂_j and the heteroskedasticity proxy
+  τ̂_j with the reference's exact ``1/(n−j)`` denominators and
+  full-series mean —
+    γ̂_j = (1/(n−j)) Σ_{t≥j} (Y_t−Ȳ)(Y_{t−j}−Ȳ)
+      (reference src/statistical_tests/escanciano_lobato.rs:369-378)
+    τ̂_j = (1/(n−j)) Σ_{t≥j} (Y_t−Ȳ)²(Y_{t−j}−Ȳ)²
+      (reference escanciano_lobato.rs:322-331)
+  The lag-j pairing (`data[j..].zip(data)` — escanciano_lobato.rs:325-330)
+  is ``F.lag(v, j)`` over the key's sorted window: an index-offset
+  self-join executed without any extra shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def rolling_stats(
+    df: DataFrame,
+    value_col: str,
+    k: int,
+    keys: list[str] | None = None,
+    order_col: str = "bucket_ts",
+) -> DataFrame:
+    """Trailing-k rolling mean/min/max/sum/std per key (frame = k rows
+    ending at current; partial frames at the series head use however many
+    rows exist, matching SQL window-frame semantics)."""
+    keys = keys if keys is not None else ["source"]
+    w = Window.partitionBy(*keys).orderBy(order_col).rowsBetween(-(k - 1), 0)
+    v = F.col(value_col)
+    return (
+        df.withColumn("roll_mean", F.avg(v).over(w))
+        .withColumn("roll_min", F.min(v).over(w))
+        .withColumn("roll_max", F.max(v).over(w))
+        .withColumn("roll_sum", F.sum(v).over(w))
+        .withColumn("roll_std", F.stddev_samp(v).over(w))
+        .withColumn("roll_count", F.count(v).over(w))
+    )
+
+
+def lag_moments(
+    df: DataFrame,
+    value_col: str,
+    max_lag: int,
+    keys: list[str] | None = None,
+    order_col: str = "t",
+) -> DataFrame:
+    """Per-key γ̂_j and τ̂_j for j = 1..max_lag, plus ρ̃_j² = γ̂_j²/τ̂_j
+    (reference escanciano_lobato.rs:468-479). Output: one row per
+    (key, lag).
+
+    Plan shape: ONE window sort per key computes every lag column in a
+    single pass; the per-key mean is a tiny broadcast-joined aggregate;
+    an explode turns (row × lag) pairs into rows; one final hash
+    aggregate over (key, lag). No Python anywhere.
+    """
+    keys = keys if keys is not None else ["key"]
+    v = F.col(value_col)
+    means = df.groupBy(*keys).agg(F.avg(v).alias("_ybar"), F.count(v).alias("_n"))
+    joined = df.join(F.broadcast(means), keys)
+    w = Window.partitionBy(*keys).orderBy(order_col)
+    dev = v - F.col("_ybar")
+    # all lag deviations in one Window operator
+    lagged = joined.select(
+        *keys,
+        "_n",
+        dev.alias("_dev"),
+        *[(F.lag(v, j).over(w) - F.col("_ybar")).alias(f"_lagdev{j}") for j in range(1, max_lag + 1)],
+    )
+    pairs = lagged.select(
+        *keys,
+        "_n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("lag"),
+                        (F.col("_dev") * F.col(f"_lagdev{j}")).alias("g"),
+                        (F.col("_dev") * F.col("_dev") * F.col(f"_lagdev{j}") * F.col(f"_lagdev{j}")).alias("tau"),
+                    )
+                    for j in range(1, max_lag + 1)
+                ]
+            )
+        ).alias("_p"),
+    ).select(*keys, "_n", F.col("_p.lag").alias("lag"), F.col("_p.g").alias("_g"), F.col("_p.tau").alias("_tau"))
+    return (
+        pairs.groupBy(*keys, "lag")
+        .agg(
+            (F.sum("_g") / (F.first("_n") - F.col("lag"))).alias("gamma_j"),
+            (F.sum("_tau") / (F.first("_n") - F.col("lag"))).alias("tau_j"),
+        )
+        .withColumn("rho_tilde_sq", (F.col("gamma_j") ** 2) / F.col("tau_j"))
+    )

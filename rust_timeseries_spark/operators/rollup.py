@@ -1,0 +1,201 @@
+"""Tumbling-window rollups and the continuous-aggregate tier cascade.
+
+The heart of the north rule: per-``(source, bucket)`` aggregates of
+``n_tok`` (sum/count/min/max, mean derived), materialized at tiers
+raw → 1m → 1h → 1d. Higher tiers NEVER rescan raw data — they fold the
+next-lower tier (sums/counts/min/max compose exactly; SURVEY.md §2.4
+A12). All aggregation is built-in hash-agg with partial (map-side)
+combine, so Zipf skew in ``source`` is absorbed before the shuffle: each
+map task emits at most |sources|×|buckets-in-partition| rows.
+
+Bucket timestamps use ``date_trunc`` in UTC — cheap, codegen'd, and
+exactly composable across tiers (every 1h bucket is the trunc of its 60
+1m buckets).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: tier name -> date_trunc unit
+TIERS = {"1m": "minute", "1h": "hour", "1d": "day"}
+
+#: tier name -> bucket width in seconds (epoch-bucket variant)
+TIER_SECONDS = {"1m": 60, "1h": 3600, "1d": 86400}
+
+#: the composable aggregate set stored in every tier table
+AGG_COLS = ["tok_sum", "tok_count", "tok_min", "tok_max"]
+
+
+def epoch_seconds(c: Column, dtype: str) -> Column:
+    """Epoch seconds (floor) from a timestamp column, independent of the
+    session timezone. TIMESTAMP_NTZ is interpreted as UTC wall-clock
+    (matching DuckDB's ``epoch()`` on naive timestamps); TIMESTAMP (LTZ)
+    casts directly to its underlying instant."""
+    if dtype in ("bigint", "long", "int"):
+        return c.cast("long")
+    if dtype == "timestamp_ntz":
+        return (c - F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")).cast("long")
+    return c.cast("long")
+
+
+def bucket_col(ts_col: str | Column, tier: str, epoch: bool = False, dtype: str = "timestamp") -> Column:
+    """Tumbling-bucket start for ``tier``.
+
+    ``epoch=False``: ``date_trunc`` timestamp (session TZ; the engine
+    pins UTC). ``epoch=True``: epoch-second bigint via pure integer
+    arithmetic — timezone-independent, used by the oracle-checked driver
+    queries so Spark and DuckDB agree regardless of session TZ.
+    """
+    if tier not in TIERS:
+        raise ValueError(f"unknown tier {tier!r}; expected one of {sorted(TIERS)}")
+    c = F.col(ts_col) if isinstance(ts_col, str) else ts_col
+    if epoch:
+        es = epoch_seconds(c, dtype)
+        return es - F.pmod(es, F.lit(TIER_SECONDS[tier]))
+    return F.date_trunc(TIERS[tier], c)
+
+
+def rollup_raw(
+    df: DataFrame,
+    tier: str = "1m",
+    keys: list[str] | None = None,
+    ts_col: str = "ts",
+    value_col: str = "n_tok",
+    epoch: bool = False,
+) -> DataFrame:
+    """raw events → one tier of per-(keys, bucket) aggregates.
+
+    This is the reference's "aggregate a series" step generalized to
+    grouped data (mean: reference escanciano_lobato.rs:279-283 /
+    psi.rs:144); at scale it is a single hash aggregate: partial combine
+    per input partition, one shuffle on (keys, bucket_ts), final merge.
+    """
+    keys = keys if keys is not None else ["source"]
+    v = F.col(value_col)
+    return (
+        df.select(*keys, bucket_col(ts_col, tier, epoch, dict(df.dtypes)[ts_col]).alias("bucket_ts"), v.alias("_v"))
+        .groupBy(*keys, "bucket_ts")
+        .agg(
+            F.sum("_v").alias("tok_sum"),
+            F.count("_v").alias("tok_count"),
+            F.min("_v").alias("tok_min"),
+            F.max("_v").alias("tok_max"),
+        )
+    )
+
+
+def fold_up(tier_df: DataFrame, to_tier: str, keys: list[str] | None = None, epoch: bool = False) -> DataFrame:
+    """Fold a finer tier into a coarser one without touching raw data.
+
+    sum/count/min/max compose exactly; mean is always derived as
+    sum/count at read time so it re-composes losslessly (SURVEY.md A12).
+    """
+    keys = keys if keys is not None else ["source"]
+    return (
+        tier_df.select(*keys, bucket_col("bucket_ts", to_tier, epoch, dict(tier_df.dtypes)["bucket_ts"]).alias("bucket_ts"), *AGG_COLS)
+        .groupBy(*keys, "bucket_ts")
+        .agg(
+            F.sum("tok_sum").alias("tok_sum"),
+            F.sum("tok_count").alias("tok_count"),
+            F.min("tok_min").alias("tok_min"),
+            F.max("tok_max").alias("tok_max"),
+        )
+    )
+
+
+def with_mean(tier_df: DataFrame) -> DataFrame:
+    """Attach the derived mean column (never stored — always sum/count)."""
+    return tier_df.withColumn("tok_mean", F.col("tok_sum") / F.col("tok_count"))
+
+
+def tier_cascade(
+    df: DataFrame,
+    keys: list[str] | None = None,
+    ts_col: str = "ts",
+    value_col: str = "n_tok",
+) -> dict[str, DataFrame]:
+    """raw → 1m → 1h → 1d in one lineage. Only the 1m rollup reads raw
+    rows; 1h folds 1m; 1d folds 1h."""
+    t1m = rollup_raw(df, "1m", keys, ts_col, value_col)
+    t1h = fold_up(t1m, "1h", keys)
+    t1d = fold_up(t1h, "1d", keys)
+    return {"1m": t1m, "1h": t1h, "1d": t1d}
+
+
+def rollup_salted(
+    df: DataFrame,
+    tier: str = "1m",
+    n_salts: int = 16,
+    keys: list[str] | None = None,
+    ts_col: str = "ts",
+    value_col: str = "n_tok",
+) -> DataFrame:
+    """Two-phase salted rollup for pathological key skew (SURVEY.md
+    §4.3.6): phase 1 aggregates per (keys, salt, bucket) — spreading one
+    hot source over ``n_salts`` reducers — phase 2 merges the partials.
+
+    Note: for plain hash aggregation Spark's partial combine already
+    bounds reducer input, so this variant exists for (a) pipelines whose
+    phase-1 output feeds per-key sequential kernels and (b) engines with
+    partial-agg disabled. Results are identical to ``rollup_raw`` except
+    float sum ordering (here all stored aggregates are integral).
+    """
+    keys = keys if keys is not None else ["source"]
+    salted = df.select(
+        *keys,
+        bucket_col(ts_col, tier).alias("bucket_ts"),
+        F.pmod(F.xxhash64("doc_id"), F.lit(n_salts)).alias("_salt"),
+        F.col(value_col).alias("_v"),
+    )
+    partial = salted.groupBy(*keys, "_salt", "bucket_ts").agg(
+        F.sum("_v").alias("tok_sum"),
+        F.count("_v").alias("tok_count"),
+        F.min("_v").alias("tok_min"),
+        F.max("_v").alias("tok_max"),
+    )
+    return (
+        partial.groupBy(*keys, "bucket_ts")
+        .agg(
+            F.sum("tok_sum").alias("tok_sum"),
+            F.sum("tok_count").alias("tok_count"),
+            F.min("tok_min").alias("tok_min"),
+            F.max("tok_max").alias("tok_max"),
+        )
+    )
+
+
+def grouping_rollup(df: DataFrame, tier: str = "1d", ts_col: str = "ts", value_col: str = "n_tok", epoch: bool = False) -> DataFrame:
+    """Per-source and all-source rollups in a single pass via ROLLUP
+    grouping sets (SURVEY.md A13)."""
+    return (
+        df.select("source", bucket_col(ts_col, tier, epoch, dict(df.dtypes)[ts_col]).alias("bucket_ts"), F.col(value_col).alias("_v"))
+        .rollup("source", "bucket_ts")
+        .agg(
+            F.sum("_v").alias("tok_sum"),
+            F.count("_v").alias("tok_count"),
+            F.grouping_id().alias("grouping_level"),
+        )
+    )
+
+
+def distinct_docs(df: DataFrame, tier: str = "1h", ts_col: str = "ts") -> DataFrame:
+    """Approximate distinct doc counts per bucket (HLL sketch — SURVEY.md
+    A14); sketches merge map-side so this shuffles only sketch bytes."""
+    return (
+        df.select("source", bucket_col(ts_col, tier).alias("bucket_ts"), "doc_id")
+        .groupBy("source", "bucket_ts")
+        .agg(F.approx_count_distinct("doc_id").alias("approx_docs"))
+    )
+
+
+def top_k_sources(tier_df: DataFrame, k: int = 5) -> DataFrame:
+    """Top-k sources by total tokens (TakeOrderedAndProject — no full
+    sort; per-partition top-k then driver merge)."""
+    return (
+        tier_df.groupBy("source")
+        .agg(F.sum("tok_sum").alias("total_tok"))
+        .orderBy(F.desc("total_tok"), F.asc("source"))
+        .limit(k)
+    )

@@ -1,0 +1,108 @@
+import numpy as np
+
+from rust_timeseries_spark import datagen
+from rust_timeseries_spark.operators import recursion as rec
+
+
+def test_constant_series_stays_at_uncond_mean():
+    # reference fixture psi.rs:963-1015: x ≡ μ with init=uncond_mean → ψ ≡ μ
+    omega, alpha, beta = 1.5, [0.2], [0.3]
+    mu = omega / (1.0 - 0.2 - 0.3)
+    x = np.full(64, mu)
+    pi, di = rec.seed_init("uncond_mean", omega, np.array(alpha), np.array(beta), x.mean(), 1, 1)
+    psi = rec.psi_recursion_np(x, omega, np.array(alpha), np.array(beta), pi, di)
+    assert np.all(psi == mu)
+
+
+def test_beta_zero_matches_pure_alpha_block():
+    # reference fixture psi.rs:1184-1242: β=0 → ψ_t = ω + α·τ_{t−1}
+    omega, alpha = 0.5, 0.4
+    x = np.array([1.0, 2.0, 3.0, 4.0])
+    pi, di = rec.seed_init("fixed", omega, np.array([alpha]), np.array([0.0]), x.mean(), 1, 1, fixed_value=7.0)
+    psi = rec.psi_recursion_np(x, omega, np.array([alpha]), np.array([0.0]), pi, di)
+    expected = np.array([omega + alpha * 7.0, omega + alpha * 1.0, omega + alpha * 2.0, omega + alpha * 3.0])
+    np.testing.assert_array_equal(psi, expected)
+
+
+def test_guard_clamping():
+    # reference psi.rs:849-873: each ψ clamped before feeding the next step
+    x = np.array([100.0, 100.0, 100.0])
+    psi = rec.psi_recursion_np(
+        x, omega=0.0, alpha=np.array([1.0 - 1e-6 - 0.1]), beta=np.array([0.0]),
+        psi_init=np.array([1.0]), dur_init=np.array([1.0]), guards=(1e-6, 5.0),
+    )
+    assert psi[1] == 5.0 and psi[2] == 5.0
+
+
+def test_acd21_lag_splicing_exact():
+    # hand-rolled ACD(p=1, q=2) against the exact splicing rules
+    omega, alpha, beta = 0.1, np.array([0.3, 0.2]), np.array([0.4])
+    x = np.array([1.0, 2.0, 4.0, 8.0])
+    pi, di = np.array([1.5]), np.array([0.5, 0.7])  # dur_init oldest→newest
+    psi = rec.psi_recursion_np(x, omega, alpha, beta, pi, di, guards=(-np.inf, np.inf))
+    # t=0: k_init=2 → α·[d1,d0] reversed = 0.3*0.7+0.2*0.5 ; β·ψ_init
+    e0 = omega + 0.3 * 0.7 + 0.2 * 0.5 + 0.4 * 1.5
+    # t=1: k_init=1 → reference pairs alpha[:k_init] with the PRE-SAMPLE
+    # tail and alpha[k_init:] with observed (psi.rs:597-599): α0·dur_init[1] + α1·x0
+    e1 = omega + 0.3 * 0.7 + 0.2 * 1.0 + 0.4 * e0
+    # t=2: all observed: α·[x1, x0]
+    e2 = omega + 0.3 * 2.0 + 0.2 * 1.0 + 0.4 * e1
+    e3 = omega + 0.3 * 4.0 + 0.2 * 2.0 + 0.4 * e2
+    np.testing.assert_allclose(psi, [e0, e1, e2, e3], rtol=0, atol=0)
+
+
+def test_forecast_recursion_manual():
+    # forecasts.rs:263-290 with p=q=1: ψ̂_1 = ω + α·x_T + β·ψ_T; then τ̂=ψ̂
+    omega, alpha, beta = 0.2, [0.3], [0.5]
+    psi_lags, dur_lags = np.array([2.0]), np.array([1.5])
+    fc = rec.forecast_np(omega, np.array(alpha), np.array(beta), psi_lags, dur_lags, 3)
+    f1 = 0.2 + 0.3 * 1.5 + 0.5 * 2.0
+    f2 = 0.2 + 0.3 * f1 + 0.5 * f1
+    f3 = 0.2 + 0.3 * f2 + 0.5 * f2
+    np.testing.assert_array_equal(fc, [f1, f2, f3])
+
+
+def test_spark_ewma_matches_numpy(spark):
+    rng = np.random.default_rng(42)
+    arrays = {f"k{i}": 1.0 + rng.random(50) for i in range(6)}
+    df = datagen.series_df(spark, arrays)
+    got = rec.ewma(df, ["key"], alpha=0.3, init="sample_mean").orderBy("key", "t").toPandas()
+    for k, x in arrays.items():
+        sub = got[got["key"] == k]["psi"].to_numpy()
+        m = x.mean()
+        exp = np.empty(len(x))
+        prev_psi, prev_x = m, m
+        for t in range(len(x)):
+            exp[t] = 0.3 * prev_x + 0.7 * prev_psi
+            prev_psi, prev_x = exp[t], x[t]
+        np.testing.assert_array_equal(sub, exp)
+
+
+def test_spark_forecast_positive(spark):
+    arrays = {f"k{i}": datagen.trending_durations(128, base) for i, base in enumerate([0.5, 1.0, 5.0])}
+    df = datagen.series_df(spark, arrays)
+    fc = rec.acd_forecast(df, ["key"], omega=0.2, alpha=[0.2], beta=[0.3], horizon=5).toPandas()
+    assert len(fc) == 15
+    assert (fc["psi_hat"] > 0).all()
+    assert np.isfinite(fc["psi_hat"]).all()
+
+
+def test_segment_scan_tolerance_parity():
+    rng = np.random.default_rng(7)
+    x = 1.0 + rng.random(1000)
+    omega, alpha, beta = 0.1, 0.25, 0.6
+    pi, di = np.array([x.mean()]), np.array([x.mean()])
+    exact = rec.psi_recursion_np(x, omega, np.array([alpha]), np.array([beta]), pi, di)
+    bounds, A, b = rec.ewma_affine_segments(x, alpha, beta, omega, n_seg=8)
+    # driver-side prefix: boundary ψ values then check each segment end
+    psi0 = pi[0]
+    # segment 0 starts from psi_init, but c_0 uses x_{-1}→0 in the scan
+    # helper; reconstruct with the real recursion per segment instead:
+    psi_start = pi[0]
+    for s in range(8):
+        lo, hi = bounds[s], bounds[s + 1]
+        seg_pi = np.array([psi_start])
+        seg_di = np.array([x[lo - 1]]) if lo > 0 else di
+        seg = rec.psi_recursion_np(x[lo:hi], omega, np.array([alpha]), np.array([beta]), seg_pi, seg_di)
+        np.testing.assert_array_equal(seg, exact[lo:hi])
+        psi_start = seg[-1]

@@ -1,0 +1,81 @@
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from rust_timeseries_spark import datagen
+from rust_timeseries_spark.operators import rollup
+from rust_timeseries_spark.sources import tokens as tok
+
+
+def _events(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def test_token_table_invariants(spark):
+    df = datagen.token_table(spark, 500)
+    tok.assert_invariants(df)  # must not raise
+    assert df.count() == 500
+    # deterministic: same seed → same content
+    a = datagen.token_table(spark, 50).orderBy("doc_id").collect()
+    b = datagen.token_table(spark, 50).orderBy("doc_id").collect()
+    assert a == b
+    # skew: top source should dominate
+    counts = {r["source"]: r["c"] for r in df.groupBy("source").agg(F.count("*").alias("c")).collect()}
+    assert max(counts.values()) > 3 * sorted(counts.values())[len(counts) // 2]
+
+
+def test_rollup_matches_pandas(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    got = (
+        rollup.with_mean(rollup.rollup_raw(ev, "1h", keys=["event_type"], ts_col="ts", value_col="value"))
+        .orderBy("event_type", "bucket_ts")
+        .toPandas()
+    )
+    pdf = ev.toPandas()
+    pdf["bucket_ts"] = pdf["ts"].dt.floor("h")
+    exp = (
+        pdf.groupby(["event_type", "bucket_ts"])["value"]
+        .agg(tok_sum="sum", tok_count="count", tok_min="min", tok_max="max", tok_mean="mean")
+        .reset_index()
+        .sort_values(["event_type", "bucket_ts"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp)
+    np.testing.assert_allclose(got["tok_sum"].to_numpy(), exp["tok_sum"].to_numpy(), rtol=1e-12)
+    assert (got["tok_count"].to_numpy() == exp["tok_count"].to_numpy()).all()
+    np.testing.assert_allclose(got["tok_mean"].to_numpy(), exp["tok_mean"].to_numpy(), rtol=1e-12)
+
+
+def test_tier_cascade_composes_exactly(spark):
+    df = datagen.with_event_time(datagen.token_table(spark, 2000))
+    tiers = rollup.tier_cascade(df)
+    # folding 1m straight to 1d must equal the cascaded 1m→1h→1d
+    direct_1d = rollup.fold_up(tiers["1m"], "1d").orderBy("source", "bucket_ts").collect()
+    cascaded_1d = tiers["1d"].orderBy("source", "bucket_ts").collect()
+    assert direct_1d == cascaded_1d
+    # and the 1d tier must equal a raw-level 1d rollup (integer sums: exact)
+    raw_1d = rollup.rollup_raw(df, "1d").orderBy("source", "bucket_ts").collect()
+    assert raw_1d == cascaded_1d
+
+
+def test_salted_rollup_identical(spark):
+    df = datagen.with_event_time(datagen.token_table(spark, 1000))
+    plain = rollup.rollup_raw(df, "1h").orderBy("source", "bucket_ts").collect()
+    salted = rollup.rollup_salted(df, "1h", n_salts=8).orderBy("source", "bucket_ts").collect()
+    assert plain == salted
+
+
+def test_top_k_sources(spark):
+    df = datagen.with_event_time(datagen.token_table(spark, 2000))
+    t1d = rollup.rollup_raw(df, "1d")
+    top = rollup.top_k_sources(t1d, k=3).collect()
+    assert len(top) == 3
+    assert top[0]["total_tok"] >= top[1]["total_tok"] >= top[2]["total_tok"]
+
+
+def test_grouping_rollup_total_row(spark):
+    df = datagen.with_event_time(datagen.token_table(spark, 500))
+    g = rollup.grouping_rollup(df, "1d").toPandas()
+    total = g[(g["source"].isna()) & (g["bucket_ts"].isna())]
+    assert len(total) == 1
+    assert int(total["tok_count"].iloc[0]) == 500

@@ -1,0 +1,108 @@
+"""Local stand-in for the driver's correctness gate: runs every
+``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB at the
+given sf dir, then compares row count, column names, and an
+order-insensitive value multiset (floats compared exactly — the query
+conventions are responsible for making that stable).
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime"):
+            df[c] = df[c].astype("datetime64[us]")
+        elif df[c].dtype == object:
+            pass
+        else:
+            try:
+                df[c] = pd.to_numeric(df[c])
+            except (ValueError, TypeError):
+                pass
+    return df.sort_values(list(df.columns), ignore_index=True)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entrymod
+    from rust_timeseries_spark.session import build_spark
+
+    spark = build_spark(app_name="oracle-check", shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            got = normalize(fn(spark, sf_dir).toPandas())
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"[FAIL] {name}: spark error {type(e).__name__}: {e}")
+            continue
+        if name not in oracles:
+            print(f"[rows-only] {name}: {len(got)} rows")
+            continue
+        try:
+            exp = normalize(con.execute(oracles[name]).fetchdf())
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"[FAIL] {name}: duckdb error {type(e).__name__}: {e}")
+            continue
+        ok = True
+        if list(got.columns) != list(exp.columns):
+            print(f"[FAIL] {name}: columns spark={list(got.columns)} oracle={list(exp.columns)}")
+            ok = False
+        elif len(got) != len(exp):
+            print(f"[FAIL] {name}: rows spark={len(got)} oracle={len(exp)}")
+            ok = False
+        else:
+            for c in got.columns:
+                a, b = got[c], exp[c]
+                if a.dtype.kind == "f" or b.dtype.kind == "f":
+                    eq = ((a == b) | (a.isna() & b.isna())).all()
+                else:
+                    eq = (a.astype(str).fillna("¤") == b.astype(str).fillna("¤")).all()
+                if not eq:
+                    bad = (~((a == b) | (a.isna() & b.isna()))).to_numpy().nonzero()[0][:5]
+                    print(f"[FAIL] {name}: column {c} differs at rows {bad.tolist()}")
+                    print("  spark :", a.iloc[bad].tolist())
+                    print("  oracle:", b.iloc[bad].tolist())
+                    ok = False
+        if ok:
+            print(f"[ok] {name}: {len(got)} rows, {len(got.columns)} cols")
+        else:
+            failures.append(name)
+    spark.stop()
+    if failures:
+        print("FAILURES:", failures)
+        return 1
+    print("all checks passed")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,124 @@
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from rust_timeseries_spark.functions import compression as C
+
+I64 = np.iinfo(np.int64)
+
+
+def _rt_int(arr):
+    arr = np.asarray(arr, dtype=np.int64)
+    blob = C.encode_dod_int64(arr)
+    out = C.decode_dod_int64(blob)
+    np.testing.assert_array_equal(out, arr)
+    return blob
+
+
+def _rt_f64(arr):
+    arr = np.asarray(arr, dtype=np.float64)
+    blob = C.encode_gorilla_f64(arr)
+    out = C.decode_gorilla_f64(blob)
+    np.testing.assert_array_equal(arr.view(np.uint64), out.view(np.uint64))
+    return blob
+
+
+# --- FIXTURES.md F-5 variants -------------------------------------------------
+
+@pytest.mark.parametrize("n", [0, 1, 2, 1000, 4096])
+def test_dod_constant(n):
+    blob = _rt_int(np.full(n, 123456789, dtype=np.int64))
+    if n >= 16:
+        assert len(blob) < 8 * n / 4  # constant series ≫4x smaller
+
+
+@pytest.mark.parametrize("step", [1, 12345, 60])
+def test_dod_monotone(step):
+    arr = np.arange(0, 4096 * step, step, dtype=np.int64)
+    blob = _rt_int(arr)
+    assert len(blob) < len(arr)  # ~1 bit/point after the first delta
+
+
+def test_dod_random_and_extremes():
+    rng = np.random.default_rng(42)
+    _rt_int(rng.integers(0, 2**40, size=1000))
+    _rt_int(np.array([I64.min, I64.max, 0, -1, 1, I64.min, I64.max]))
+    _rt_int(rng.integers(I64.min // 2, I64.max // 2, size=257))
+
+
+def test_dod_alternating():
+    arr = np.empty(1000, dtype=np.int64)
+    arr[0::2] = 1_000_000
+    arr[1::2] = 3
+    _rt_int(arr)
+
+
+def test_gorilla_constant_and_repeats():
+    blob = _rt_f64(np.full(1000, 3.14159))
+    assert len(blob) < 200  # xor=0 path: ~1 bit/point
+    _rt_f64(np.array([1.0, 1.0, 2.0, 2.0, 2.0, 1.5, 1.5]))
+
+
+def test_gorilla_slowly_varying():
+    t = np.arange(4096)
+    # full-mantissa continuous data is a worst case for XOR codecs:
+    # bounded overhead, exact round-trip
+    blob = _rt_f64(np.sin(t / 100.0) * 100.0)
+    assert len(blob) < 8 * 4096 * 1.25
+
+
+def test_gorilla_integer_valued_floats():
+    # the engine's real float payloads are often integer-valued (counter
+    # sums cast to double): huge trailing-zero runs → strong compression
+    rng = np.random.default_rng(42)
+    arr = rng.integers(0, 100000, size=4096).astype(np.float64)
+    blob = _rt_f64(arr)
+    assert len(blob) < 8 * 4096 / 2
+
+
+@pytest.mark.parametrize("scale", [-6, 0, 12])
+def test_gorilla_random_scales(scale):
+    rng = np.random.default_rng(42)
+    _rt_f64(rng.normal(size=1000) * 10.0**scale)
+
+
+def test_gorilla_specials():
+    _rt_f64(np.array([0.0, -0.0, np.inf, -np.inf, np.nan, 1e-308, 1e308, 5e-324]))
+    _rt_f64(np.array([]))
+    _rt_f64(np.array([np.nan]))
+
+
+# --- property tests -----------------------------------------------------------
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(min_value=I64.min, max_value=I64.max), max_size=80))
+def test_dod_property(xs):
+    arr = np.array(xs, dtype=np.int64)
+    np.testing.assert_array_equal(C.decode_dod_int64(C.encode_dod_int64(arr)), arr)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.floats(allow_nan=True, allow_infinity=True, width=64), max_size=80))
+def test_gorilla_property(xs):
+    arr = np.array(xs, dtype=np.float64)
+    out = C.decode_gorilla_f64(C.encode_gorilla_f64(arr))
+    np.testing.assert_array_equal(arr.view(np.uint64), out.view(np.uint64))
+
+
+# --- Spark block round-trip ---------------------------------------------------
+
+def test_spark_block_roundtrip(spark):
+    from rust_timeseries_spark import datagen
+    from rust_timeseries_spark.operators import compress, rollup
+
+    df = datagen.with_event_time(datagen.token_table(spark, 3000))
+    t1h = rollup.rollup_raw(df, "1h", epoch=True)
+    blocks = compress.compress_tier(t1h, "1d")
+    back = compress.decompress_blocks(blocks)
+    a = t1h.select("source", "bucket_ts", "tok_sum", "tok_count", "tok_min", "tok_max")
+    got = sorted([r["source"], *map(int, r[1:])] for r in back.select(*a.columns).collect())
+    exp = sorted([r["source"], *map(int, r[1:])] for r in a.collect())
+    assert got == exp
+    rep = compress.compression_report(blocks).collect()[0]
+    assert rep["ratio"] > 2.0

@@ -1,0 +1,125 @@
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from rust_timeseries_spark import datagen
+from rust_timeseries_spark.plans.pipeline import RollupPipeline
+from rust_timeseries_spark.plans.tiers import TierStore
+
+
+@pytest.fixture()
+def raw(spark):
+    return datagen.with_event_time(datagen.token_table(spark, 3000)).select(
+        "doc_id", "source", "ts", "n_tok"
+    )
+
+
+def _tier_dict(df):
+    return {tuple(r[:2]): tuple(r[2:]) for r in
+            df.select("source", "bucket_ts", "tok_sum", "tok_count", "tok_min", "tok_max").collect()}
+
+
+def test_materialize_and_read_roundtrip(spark, raw, tmp_path):
+    store = TierStore(spark, str(tmp_path / "tiers"))
+    store.materialize_full(raw)
+    for tier in ("1m", "1h", "1d"):
+        got = _tier_dict(store.read_tier(tier))
+        exp = _tier_dict(store.cascade(raw)[tier])
+        assert got == exp
+
+
+def test_incremental_equals_full(spark, raw, tmp_path):
+    store = TierStore(spark, str(tmp_path / "tiers"))
+    # day-based split: first materialize the early part, then merge the rest
+    cut = raw.approxQuantile("n_tok", [0.5], 0)[0]  # arbitrary row split
+    part1 = raw.where(F.col("n_tok") <= cut)
+    part2 = raw.where(F.col("n_tok") > cut)
+    store.materialize_full(part1)
+    store.merge_increment(raw, part2)
+    for tier in ("1m", "1h", "1d"):
+        got = _tier_dict(store.read_tier(tier))
+        exp = _tier_dict(store.cascade(raw)[tier])
+        assert got == exp
+
+
+def test_merge_is_idempotent(spark, raw, tmp_path):
+    store = TierStore(spark, str(tmp_path / "tiers"))
+    store.materialize_full(raw)
+    before = _tier_dict(store.read_tier("1h"))
+    # replay the same batch twice (simulates a retried half-finished run)
+    batch = raw.limit(500)
+    store.merge_increment(raw, batch)
+    store.merge_increment(raw, batch)
+    assert _tier_dict(store.read_tier("1h")) == before
+
+
+def test_retention_expiry(spark, raw, tmp_path):
+    store = TierStore(spark, str(tmp_path / "tiers"))
+    store.materialize_full(raw)
+    days = sorted({r[0] for r in store.read_tier("1m").select(
+        (F.col("bucket_ts") - F.pmod(F.col("bucket_ts"), F.lit(86400))).alias("d")).distinct().collect()})
+    assert len(days) > 2
+    cutoff = days[2]
+    dropped = store.expire("1m", cutoff)
+    assert dropped == 2
+    remaining = store.read_tier("1m").agg(F.min("bucket_ts")).collect()[0][0]
+    assert remaining >= cutoff
+
+
+def test_pipeline_lineage_metrics_and_ewma_resume(spark, raw, tmp_path):
+    base = str(tmp_path / "p")
+    pipe = RollupPipeline(spark, base)
+    # split raw by event-time: first 4 days, then the rest
+    dtype = dict(raw.dtypes)["ts"]
+    from rust_timeseries_spark.operators.rollup import epoch_seconds
+    es = epoch_seconds(F.col("ts"), dtype)
+    day = es - F.pmod(es, F.lit(86400))
+    days = sorted(r[0] for r in raw.select(day.alias("d")).distinct().collect())
+    cut_day = days[4]
+    early = raw.where(day < cut_day)
+    late = raw.where(day >= cut_day)
+
+    pipe.store.materialize_full(early)
+    pipe._advance_ewma_watermarks(pipe.store.read_tier("1h"))
+    wm1 = {r["source"]: (r["last_bucket_ts"], r["psi_lags"], r["dur_lags"])
+           for r in pipe.meta.watermarks(["source"]).collect()}
+    assert wm1
+
+    # continue on the late buckets from the checkpoint
+    m = pipe.run_increment(raw, late, run_id="r2")
+    assert m["n_batch_rows"] > 0
+    assert pipe.meta.completed_days("1h")
+
+    t1h_all = pipe.store.read_tier("1h")
+
+    # rebuild watermarks as of the early prefix, then continue
+    early_t1h = TierStore(spark, base + "2").cascade(early)["1h"]
+    pipe._advance_ewma_watermarks(early_t1h)
+    wm_ts = {r["source"]: r["last_bucket_ts"] for r in pipe.meta.watermarks(["source"]).collect()}
+    cont = pipe.ewma_continue(t1h_all).orderBy("source", "t").collect()
+    assert cont
+
+    # numpy oracle: uninterrupted recursion over the FULL series, seeded
+    # exactly as the first run was (sample mean of the early prefix) —
+    # the continuation must match its tail bit-for-bit
+    from rust_timeseries_spark.operators import recursion as rec
+    alpha = pipe.ewma_alpha
+    series = {}
+    for r in pipe._ewma_series(t1h_all).orderBy("source", "t").collect():
+        series.setdefault(r["source"], []).append((r["t"], r["v"]))
+    early_means = {
+        r["source"]: r["m"]
+        for r in pipe._ewma_series(early_t1h).groupBy("source").agg(F.avg("v").alias("m")).collect()
+    }
+    expected = {}
+    for k, pts in series.items():
+        x = np.array([v for _, v in pts])
+        m = early_means[k]
+        psi = rec.psi_recursion_np(
+            x, 0.0, np.array([alpha]), np.array([1 - alpha]),
+            np.array([m]), np.array([m]), guards=(-np.inf, np.inf),
+        )
+        expected[k] = dict(zip([t for t, _ in pts], psi))
+    for r in cont:
+        assert r["t"] > wm_ts[r["source"]]
+        assert expected[r["source"]][r["t"]] == r["psi"], (r["source"], r["t"])

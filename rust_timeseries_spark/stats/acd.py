@@ -1,0 +1,337 @@
+"""ACD(p, q) duration models: MLE fit, forecast, covariance — per key.
+
+The reference's three ``ACD`` entry points (src/lib.rs:441-454, 466-473,
+491-505) re-expressed as grouped Spark kernels. Math is pinned to the
+cited reference code:
+
+* likelihood: ψ recursion (operators/recursion.py ≡ psi.rs:576-604) +
+  ordered sum of per-obs logpdf over ``data[t0..]`` ⨯ ``ψ[t0..]``
+  (likelihood_driver psi.rs:202-220);
+* gradient: sensitivity recursion ∂ψ_t/∂θ
+  (recursion_loop_derivative psi.rs:687-723 incl. the UncondMean init
+  corrections psi.rs:440-456, 783-793), per-obs accumulation and
+  θ-space mapping (acd.rs:590-619);
+* optimizer: minimize −ℓ over θ (adapter.rs:216-222) with L-BFGS m=7
+  (tolerance parity, stats/optim.py);
+* covariance: FD Hessian of the gradient → eigen pseudo-inverse →
+  classical J⁺ or sandwich J⁺SJ⁺ with S from HAC over the score matrix
+  (hessian.rs:139-149; scores model_internals.rs:276-310), then the
+  delta method to (ω,α,β) space (acd.rs:482).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from ..constants import DEFAULT_PSI_GUARDS, STATIONARITY_MARGIN
+from ..functions import scalar as S
+from ..operators.recursion import psi_recursion_np, seed_init
+from .hac import hac_covariance_np
+from .optim import lbfgs_minimize
+
+
+@dataclass
+class AcdSpec:
+    """ACD model configuration ≈ reference ``ACDOptions`` + shape + law
+    (src/duration/core/options.rs:124-132; Python surface lib.rs:258-429)."""
+
+    p: int = 1
+    q: int = 1
+    law: str = "exponential"  # exponential | weibull | generalized_gamma
+    law_params: dict = field(default_factory=dict)  # {"k":...} / {"p":...,"d":...}
+    init: str = "uncond_mean"
+    init_value: float | None = None
+    psi_guards: tuple[float, float] = DEFAULT_PSI_GUARDS
+    t0: int | None = None
+    tol_grad: float = 1e-6
+    max_iter: int = 300
+
+    def law_full_params(self) -> dict:
+        if self.law == "exponential":
+            return {}
+        if self.law == "weibull":
+            k = self.law_params["k"]
+            return {"k": k, "lambda": S.weibull_lambda(k)}
+        if self.law == "generalized_gamma":
+            pp, d = self.law_params["p"], self.law_params["d"]
+            return {"p": pp, "d": d, "a": S.gengamma_a(pp, d)}
+        raise ValueError(self.law)
+
+
+# ---------------------------------------------------------------------------
+# per-series numpy model (the reference's single-threaded core)
+# ---------------------------------------------------------------------------
+
+def _compute_psi(x: np.ndarray, theta: np.ndarray, spec: AcdSpec):
+    p, q = spec.p, spec.q
+    omega, alpha, beta, slack = S.theta_to_params(theta, p, q)
+    sample_mean = float(x.mean())
+    uncond = omega / (1.0 - float(alpha.sum()) - float(beta.sum()))
+    if spec.init == "uncond_mean":
+        pi, di = np.full(p, uncond), np.full(q, uncond)
+    else:
+        pi, di = seed_init(
+            spec.init, omega, alpha, beta, sample_mean, p, q, fixed_value=spec.init_value
+        )
+    psi = psi_recursion_np(x, omega, alpha, beta, pi, di, spec.psi_guards)
+    return psi, omega, alpha, beta, slack, pi, di
+
+
+def loglik(x: np.ndarray, theta: np.ndarray, spec: AcdSpec) -> float:
+    """ℓ(θ) — likelihood_driver (psi.rs:202-220): ordered left-to-right
+    accumulation over observations after t0."""
+    psi, *_ = _compute_psi(x, theta, spec)
+    t0 = spec.t0 or 0
+    lp = S.logpdf_vec(x[t0:], psi[t0:], spec.law, spec.law_full_params())
+    total = 0.0
+    for v in lp:  # try_fold order (bit-parity note SURVEY.md §7.2.1)
+        total += float(v)
+    return total
+
+
+def _deriv_and_psi(x: np.ndarray, theta: np.ndarray, spec: AcdSpec):
+    """ψ buffer (p pre-sample + n in-sample) and derivative rows."""
+    p, q = spec.p, spec.q
+    psi, omega, alpha, beta, slack, pi, di = _compute_psi(x, theta, spec)
+    psi_buf = np.concatenate([pi, psi])
+    n = len(x)
+    dim = 1 + q + p
+    deriv = np.zeros((p + n, dim))
+    denom = slack + STATIONARITY_MARGIN
+    if spec.init == "uncond_mean":
+        deriv[:p, 0] = 1.0 / denom
+        deriv[:p, 1:] = omega / (denom * denom)
+    for t in range(n):
+        k_init = max(0, q - t)
+        k_data = q - k_init
+        alpha_sum = float(alpha[:k_init].sum()) if spec.init == "uncond_mean" else 0.0
+        param_dur_deriv = (alpha_sum * omega) / (denom * denom)
+        row = deriv[p + t]
+        row[0] = 1.0 + alpha_sum / denom
+        row[1 : k_init + 1] = di[q - k_init : q][::-1]
+        row[k_init + 1 : q + 1] = x[t - k_data : t][::-1]
+        row[q + 1 :] = psi_buf[t : t + p]
+        row[1:] += param_dur_deriv
+        # feedback Σᵢ β_i ∂ψ/∂θ for the lag that β_i actually multiplies
+        # in the VALUE recursion (β·psi_buf[t..t+p], psi.rs:597-600):
+        # deriv row t+i. NOTE a deliberate deviation for p ≥ 2: the
+        # reference feeds back β_{j}·deriv[p+t−j] (psi.rs:714-717),
+        # pairing β₁ with ∂ψ_{t−1} while its value recursion pairs β₁
+        # with ψ_{t−p} — its analytic gradient is then not the gradient
+        # of its own likelihood. We keep the gradient self-consistent
+        # (FD-verified in tests/test_acd.py); for p = 1 the two are
+        # identical.
+        for i in range(p):
+            row += beta[i] * deriv[t + i]
+    return psi_buf, deriv, omega, alpha, beta, slack
+
+
+def grad(x: np.ndarray, theta: np.ndarray, spec: AcdSpec) -> np.ndarray:
+    """∇ℓ(θ) — LogLikelihood::grad (acd.rs:590-619)."""
+    p, q = spec.p, spec.q
+    psi_buf, deriv, omega, alpha, beta, slack = _deriv_and_psi(x, theta, spec)
+    t0 = spec.t0 or 0
+    start = p + t0
+    law, lp = spec.law, spec.law_full_params()
+    ig = S.loglik_grad_vec(x[t0:], psi_buf[start:], law, lp)
+    state = deriv[start:].T @ ig  # Σ_t innov_grad_t · deriv_row_t
+    state = np.asarray(state, dtype=np.float64)
+    state[0] *= S.safe_logistic(float(theta[0]))
+    tail = state[1:].copy()
+    S.safe_softmax_deriv(alpha, beta, tail)
+    state[1:] = tail
+    return state
+
+
+def scores(x: np.ndarray, theta: np.ndarray, spec: AcdSpec) -> np.ndarray:
+    """Per-observation score matrix (model_internals.rs:276-310)."""
+    p, q = spec.p, spec.q
+    psi_buf, deriv, omega, alpha, beta, slack = _deriv_and_psi(x, theta, spec)
+    t0 = spec.t0 or 0
+    start = p + t0
+    ig = S.loglik_grad_vec(x[t0:], psi_buf[start:], spec.law, spec.law_full_params())
+    mat = deriv[start:] * ig[:, None]
+    logistic0 = S.safe_logistic(float(theta[0]))
+    for r in range(mat.shape[0]):
+        tail = mat[r, 1:].copy()
+        S.safe_softmax_deriv(alpha, beta, tail)
+        mat[r, 1:] = tail
+        mat[r, 0] *= logistic0
+    return mat
+
+
+def fit_series(x: np.ndarray, theta0: np.ndarray, spec: AcdSpec) -> dict:
+    """MLE: minimize −ℓ (adapter sign flip adapter.rs:216-222); after
+    convergence recompute ψ at θ̂ and keep the last p ψ-lags
+    (acd.rs:315-326)."""
+    x = np.asarray(x, dtype=np.float64)
+    if np.any(~np.isfinite(x)) or np.any(x <= 0.0):
+        raise ValueError("NonPositiveData")  # data.rs:167-188
+
+    def f(t):
+        try:
+            return -loglik(x, t, spec)
+        except (ValueError, FloatingPointError, OverflowError):
+            return float("inf")
+
+    def g(t):
+        return -grad(x, t, spec)
+
+    out = lbfgs_minimize(f, g, theta0, tol_grad=spec.tol_grad, max_iter=spec.max_iter)
+    theta_hat = out.theta_hat
+    psi, omega, alpha, beta, slack, pi, di = _compute_psi(x, theta_hat, spec)
+    p = spec.p
+    psi_buf = np.concatenate([pi, psi])
+    psi_lags = psi_buf[len(psi_buf) - p :] if p > 0 else np.empty(0)
+    return {
+        "theta_hat": theta_hat,
+        "omega": omega,
+        "alpha": alpha,
+        "beta": beta,
+        "slack": slack,
+        "psi_lags": psi_lags,
+        "loglik": -out.value,
+        "iterations": out.iterations,
+        "fn_evals": out.fn_evals,
+        "grad_norm": out.grad_norm,
+        "converged": out.converged,
+        "message": out.message,
+    }
+
+
+def covariance_series(
+    x: np.ndarray,
+    theta_hat: np.ndarray,
+    spec: AcdSpec,
+    robust: bool = True,
+    kernel: str = "bartlett",
+    bandwidth: int | None = None,
+    center: bool = False,
+    small_sample_correction: bool = True,
+) -> np.ndarray:
+    """Parameter covariance in (ω,α,β) space (acd.rs:449-484)."""
+    hac_cov = None
+    if robust:
+        sc = scores(x, theta_hat, spec)
+        # passed straight through, exactly as acd.rs:469-480 does with
+        # calculate_avg_scores_cov's output
+        hac_cov = hac_covariance_np(sc, kernel, bandwidth, center, small_sample_correction)
+
+    def gfn(t):
+        return grad(x, t, spec)
+
+    # Observed information = −H(ℓ). NOTE a deliberate deviation: the
+    # reference feeds H(ℓ) (negative-definite at the MLE) into an
+    # eigen pseudo-inverse that keeps only λ > 1e-10 (hessian.rs:139-149,
+    # 325-344), which would zero the matrix; its own unit tests exercise
+    # calc_covariance with positive-definite gradient maps
+    # (hessian.rs:410-455). We negate so the classical path returns the
+    # meaningful J⁺.
+    obs_info = -S.fd_hessian(gfn, theta_hat)
+    theta_cov = S.sandwich_covariance(obs_info, hac_cov)
+    _, alpha, beta, _ = S.theta_to_params(theta_hat, spec.p, spec.q)
+    return S.delta_method(theta_cov, theta_hat, alpha, beta)
+
+
+# ---------------------------------------------------------------------------
+# Spark operators
+# ---------------------------------------------------------------------------
+
+def acd_fit(
+    df: DataFrame,
+    keys: list[str],
+    spec: AcdSpec,
+    theta0: list[float] | None = None,
+    value_col: str = "v",
+    order_col: str = "t",
+) -> DataFrame:
+    """Per-key ACD fit → one result row per key. Failed keys yield error
+    rows, not job failures."""
+    dim = 1 + spec.q + spec.p
+    theta0_a = np.zeros(dim) if theta0 is None else np.asarray(theta0, dtype=np.float64)
+    key_fields = [df.schema[k] for k in keys]
+    out_schema = T.StructType(
+        [
+            *key_fields,
+            T.StructField("omega", T.DoubleType()),
+            T.StructField("alpha", T.ArrayType(T.DoubleType())),
+            T.StructField("beta", T.ArrayType(T.DoubleType())),
+            T.StructField("slack", T.DoubleType()),
+            T.StructField("psi_lags", T.ArrayType(T.DoubleType())),
+            T.StructField("loglik", T.DoubleType()),
+            T.StructField("iterations", T.IntegerType()),
+            T.StructField("grad_norm", T.DoubleType()),
+            T.StructField("converged", T.BooleanType()),
+            T.StructField("error", T.StringType()),
+        ]
+    )
+
+    def kfn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col, kind="mergesort")
+        x = pdf[value_col].to_numpy(dtype=np.float64)
+        row = {k: [pdf[k].iloc[0]] for k in keys}
+        try:
+            r = fit_series(x, theta0_a, spec)
+            row.update(
+                omega=[r["omega"]], alpha=[r["alpha"].tolist()], beta=[r["beta"].tolist()],
+                slack=[r["slack"]], psi_lags=[r["psi_lags"].tolist()], loglik=[r["loglik"]],
+                iterations=[r["iterations"]], grad_norm=[r["grad_norm"]],
+                converged=[r["converged"]], error=[None],
+            )
+        except Exception as e:  # noqa: BLE001 — per-key error rows by design
+            row.update(
+                omega=[None], alpha=[None], beta=[None], slack=[None], psi_lags=[None],
+                loglik=[None], iterations=[None], grad_norm=[None], converged=[False],
+                error=[f"{type(e).__name__}: {e}"],
+            )
+        return pd.DataFrame(row)
+
+    return df.select(*keys, order_col, value_col).groupBy(*keys).applyInPandas(kfn, out_schema)
+
+
+def acd_covariance(
+    df: DataFrame,
+    keys: list[str],
+    spec: AcdSpec,
+    theta0: list[float] | None = None,
+    robust: bool = True,
+    kernel: str = "bartlett",
+    bandwidth: int | None = None,
+    center: bool = False,
+    small_sample_correction: bool = True,
+    value_col: str = "v",
+    order_col: str = "t",
+) -> DataFrame:
+    """Fit + parameter covariance per key (flattened row-major)."""
+    dim = 1 + spec.q + spec.p
+    theta0_a = np.zeros(dim) if theta0 is None else np.asarray(theta0, dtype=np.float64)
+    key_fields = [df.schema[k] for k in keys]
+    out_schema = T.StructType(
+        [
+            *key_fields,
+            T.StructField("dim", T.IntegerType()),
+            T.StructField("cov", T.ArrayType(T.DoubleType())),
+            T.StructField("error", T.StringType()),
+        ]
+    )
+
+    def kfn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col, kind="mergesort")
+        x = pdf[value_col].to_numpy(dtype=np.float64)
+        row = {k: [pdf[k].iloc[0]] for k in keys}
+        try:
+            r = fit_series(x, theta0_a, spec)
+            cov = covariance_series(
+                x, r["theta_hat"], spec, robust, kernel, bandwidth, center, small_sample_correction
+            )
+            row.update(dim=[dim], cov=[cov.reshape(-1).tolist()], error=[None])
+        except Exception as e:  # noqa: BLE001
+            row.update(dim=[dim], cov=[None], error=[f"{type(e).__name__}: {e}"])
+        return pd.DataFrame(row)
+
+    return df.select(*keys, order_col, value_col).groupBy(*keys).applyInPandas(kfn, out_schema)

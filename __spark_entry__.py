@@ -30,6 +30,9 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from rust_timeseries_spark.operators import gapfill, recursion, rolling, rollup  # noqa: E402
+from rust_timeseries_spark.stats import acd as acd_stats  # noqa: E402
+from rust_timeseries_spark.stats import el as el_stats  # noqa: E402
+from rust_timeseries_spark.stats import hac as hac_stats  # noqa: E402
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -465,6 +468,147 @@ def _q_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hourly_mean_series(spark, sf_dir):
+    t1h = rollup.rollup_raw(_events(spark, sf_dir), "1h", ["event_type"], "ts", "value", epoch=True)
+    return t1h.select(
+        F.col("event_type").alias("key"), F.col("bucket_ts").alias("t"),
+        (_r2(F.col("tok_sum")) / F.col("tok_count")).alias("v"),
+    )
+
+
+def _q_el_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Escanciano-Lobato portmanteau per event_type over hourly means
+    (engine kernel = exact reference math; oracle recomputes it in SQL)."""
+    series = _hourly_mean_series(spark, sf_dir)
+    out = el_stats.escanciano_lobato(series, ["key"], q=2.4, d=3)
+    return out.select("key", "p_tilde", _sci(F.col("stat")).alias("stat"))
+
+
+_SQL_EL_TEST = """
+WITH b AS (
+  SELECT event_type AS key, es - es % 3600 AS t, round(sum(value), 2) / count(value) AS v
+  FROM (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS es, value FROM events)
+  GROUP BY key, t
+),
+m AS (SELECT key, sum(v) / count(*) AS ybar, count(*) AS n FROM b GROUP BY key),
+d AS (SELECT b.key, b.t, b.v - m.ybar AS dev, m.n FROM b JOIN m ON b.key = m.key),
+lagged AS (
+  SELECT key, n, dev,
+         lag(dev, 1) OVER w AS l1, lag(dev, 2) OVER w AS l2, lag(dev, 3) OVER w AS l3
+  FROM d WINDOW w AS (PARTITION BY key ORDER BY t)
+),
+rho AS (
+  SELECT key, max(n) AS n, lag,
+         (sum(g) / (max(n) - lag)) ^ 2 / (sum(tau) / (max(n) - lag)) AS rho_sq
+  FROM (
+    SELECT key, n, 1 AS lag, dev * l1 AS g, dev*dev*l1*l1 AS tau FROM lagged WHERE l1 IS NOT NULL
+    UNION ALL
+    SELECT key, n, 2 AS lag, dev * l2 AS g, dev*dev*l2*l2 AS tau FROM lagged WHERE l2 IS NOT NULL
+    UNION ALL
+    SELECT key, n, 3 AS lag, dev * l3 AS g, dev*dev*l3*l3 AS tau FROM lagged WHERE l3 IS NOT NULL
+  ) GROUP BY key, lag
+),
+l_vals AS (
+  SELECT key, lag AS p,
+         max(n) OVER (PARTITION BY key) * sum(rho_sq) OVER (PARTITION BY key ORDER BY lag) AS q_star,
+         CASE WHEN sqrt(max(n) OVER (PARTITION BY key)) * max(sqrt(rho_sq)) OVER (PARTITION BY key)
+                   <= sqrt(2.4 * ln(max(n) OVER (PARTITION BY key)))
+              THEN lag * ln(max(n) OVER (PARTITION BY key))
+              ELSE 2.0 * lag END AS penalty
+  FROM rho
+),
+pick AS (
+  SELECT key, p, q_star,
+         row_number() OVER (PARTITION BY key ORDER BY q_star - penalty DESC, p ASC) AS rn
+  FROM l_vals
+)
+SELECT key, CAST(p AS INTEGER) AS p_tilde, printf('%.5e', q_star) AS stat
+FROM pick WHERE rn = 1
+"""
+
+
+def _q_hac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAC (Bartlett, bw=2, centered) of a 3-column score matrix — per
+    event_type over its 1m bucket series (bucket_ts is a unique,
+    deterministic time index; no row_number ties)."""
+    t1m = rollup.rollup_raw(_events(spark, sf_dir), "1m", ["event_type"], "ts", "value", epoch=True)
+    df = t1m.select(
+        F.col("event_type").alias("key"),
+        F.col("bucket_ts").alias("t"),
+        F.array(
+            _r2(F.col("tok_sum")),
+            F.col("tok_count").cast("double"),
+            F.col("tok_max"),
+        ).alias("s"),
+    )
+    out = hac_stats.hac_covariance(df, ["key"], kernel="bartlett", bandwidth=2, center=True)
+    return out.select(
+        "key",
+        F.posexplode("cov").alias("pos", "cov_val"),
+    ).select(
+        "key",
+        (F.col("pos") / 3).cast("int").alias("i"),
+        F.pmod(F.col("pos"), F.lit(3)).cast("int").alias("j"),
+        _sci(F.col("cov_val")).alias("cov"),
+    )
+
+
+_SQL_HAC = """
+WITH base AS (
+  SELECT event_type AS key, es - es % 60 AS t,
+         round(sum(value), 2) AS s0, CAST(count(value) AS DOUBLE) AS s1, max(value) AS s2
+  FROM (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS es, value FROM events)
+  GROUP BY key, t
+),
+ranked AS (
+  SELECT key, row_number() OVER (PARTITION BY key ORDER BY t) AS t, s0, s1, s2 FROM base
+),
+m AS (SELECT key, count(*) AS n, avg(s0) AS m0, avg(s1) AS m1, avg(s2) AS m2 FROM ranked GROUP BY key),
+long AS (
+  SELECT b.key, b.t, u.i,
+         CASE u.i WHEN 0 THEN b.s0 - m.m0 WHEN 1 THEN b.s1 - m.m1 ELSE b.s2 - m.m2 END AS v, m.n
+  FROM ranked b JOIN m ON b.key = m.key
+  CROSS JOIN (SELECT unnest(ARRAY[0, 1, 2]) AS i) u
+),
+gam AS (
+  SELECT a.key, k.k, a.i AS i, b2.i AS j, sum(a.v * b2.v) AS raw, max(a.n) AS n
+  FROM long a
+  CROSS JOIN (SELECT unnest(ARRAY[0, 1, 2]) AS k) k
+  JOIN long b2 ON a.key = b2.key AND a.t = b2.t + k.k
+  GROUP BY a.key, k.k, a.i, b2.i
+),
+weighted AS (
+  SELECT key, i, j,
+         CASE WHEN k = 0 THEN raw / n
+              ELSE (1.0 - k / 3.0) * (raw / (n - k)) END AS contrib,
+         k
+  FROM gam
+),
+sym AS (
+  SELECT key, i, j, contrib FROM weighted
+  UNION ALL
+  SELECT key, j AS i, i AS j, contrib FROM weighted WHERE k > 0
+)
+SELECT key, CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j,
+       printf('%.5e', sum(contrib)) AS cov
+FROM sym GROUP BY key, i, j
+"""
+
+
+def _q_acd_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACD(1,1) MLE per event_type over hourly mean durations —
+    optimizer-driven, rows-only check (numerics pinned by
+    tests/test_acd.py golden comparisons)."""
+    series = _hourly_mean_series(spark, sf_dir)
+    out = acd_stats.acd_fit(series, ["key"], acd_stats.AcdSpec(p=1, q=1))
+    return out.select(
+        "key", _sci(F.col("omega")).alias("omega"),
+        _sci(F.element_at("alpha", 1)).alias("alpha1"),
+        _sci(F.element_at("beta", 1)).alias("beta1"),
+        "converged",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rollup_1m": _q_rollup_1m,
@@ -482,6 +626,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_norms": _q_embedding_norms,
         "ewma_1h": _q_ewma,
         "acd_forecast_1h": _q_forecast,
+        "el_test": _q_el_test,
+        "hac_covariance": _q_hac,
+        "acd_fit_1h": _q_acd_fit,
     }
 
 
@@ -500,5 +647,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_token_stats": _SQL_DOC_TOKENS,
         "ngram_jaccard": _SQL_JACCARD,
         "embedding_norms": _SQL_EMBEDDING_NORMS,
-        # ewma_1h / acd_forecast_1h: recursive — rows-only by design
+        "el_test": _SQL_EL_TEST,
+        "hac_covariance": _SQL_HAC,
+        # ewma_1h / acd_forecast_1h / acd_fit_1h: recursive/optimizer-
+        # driven — rows-only by design
     }

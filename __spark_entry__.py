@@ -33,6 +33,9 @@ from rust_timeseries_spark.operators import gapfill, recursion, rolling, rollup 
 from rust_timeseries_spark.stats import acd as acd_stats  # noqa: E402
 from rust_timeseries_spark.stats import el as el_stats  # noqa: E402
 from rust_timeseries_spark.stats import hac as hac_stats  # noqa: E402
+from rust_timeseries_spark.operators import dedup as dedup_ops  # noqa: E402
+from rust_timeseries_spark.operators import similarity as sim_ops  # noqa: E402
+from rust_timeseries_spark.operators import textops  # noqa: E402
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -609,6 +612,133 @@ def _q_acd_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = textops.with_quality_score(textops.with_token_counts(_documents(spark, sf_dir)))
+    return d.select(
+        "doc_id", "n_ws_tokens", "n_distinct_tokens", "ttr",
+        "mean_word_len", "alpha_ratio", "dup_word_ratio", "quality_score",
+    )
+
+
+_SQL_TEXT_QUALITY = """
+WITH w AS (
+  SELECT doc_id, text,
+         string_split(text, ' ') AS words,
+         len(string_split(text, ' ')) AS n_words,
+         length(text) AS n_chars
+  FROM documents
+)
+SELECT doc_id,
+       n_words AS n_ws_tokens,
+       len(list_distinct(words)) AS n_distinct_tokens,
+       CAST(len(list_distinct(words)) AS DOUBLE) / n_words AS ttr,
+       CAST(n_chars - (n_words - 1) AS DOUBLE) / n_words AS mean_word_len,
+       CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / greatest(n_chars, 1) AS alpha_ratio,
+       1.0 - CAST(len(list_distinct(words)) AS DOUBLE) / n_words AS dup_word_ratio,
+       0.3 * (CASE WHEN CAST(n_chars - (n_words - 1) AS DOUBLE) / n_words >= 2.0
+                    AND CAST(n_chars - (n_words - 1) AS DOUBLE) / n_words <= 12.0 THEN 1.0 ELSE 0.0 END)
+       + 0.3 * (CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / greatest(n_chars, 1))
+       + 0.2 * (CAST(len(list_intersect(words, ['the','and','of','to','a','in','is','it','that','for'])) AS DOUBLE) / 10)
+       + 0.2 * (1.0 - (1.0 - CAST(len(list_distinct(words)) AS DOUBLE) / n_words)) AS quality_score
+FROM w
+"""
+
+
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.with_lang_id(_documents(spark, sf_dir)).select("doc_id", "lang_pred", "lang_hits")
+
+
+_SQL_LANG_ID = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+hits AS (
+  SELECT doc_id, l.lang,
+         len(list_filter(words, x -> list_contains(l.stop, x))) AS hits
+  FROM w
+  CROSS JOIN (
+    SELECT * FROM (VALUES
+      ('de', ['der','die','das','und','ist','nicht','ein','mit','für','auf']),
+      ('en', ['the','and','of','to','a','in','is','it','that','for']),
+      ('es', ['el','la','los','que','de','es','un','una','por','para']),
+      ('fr', ['le','la','les','et','est','un','une','pour','dans','que'])
+    ) t(lang, stop)
+  ) l
+),
+best AS (
+  SELECT doc_id, lang, hits,
+         row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang DESC) AS rn
+  FROM hits
+)
+SELECT doc_id,
+       CASE WHEN hits > 0 THEN lang ELSE 'und' END AS lang_pred,
+       hits AS lang_hits
+FROM best WHERE rn = 1
+"""
+
+
+def _q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup fingerprints (md5 variants so DuckDB can mirror them)."""
+    d = _documents(spark, sf_dir)
+    norm = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+    bag = F.array_join(F.array_sort(F.array_distinct(F.split(norm, " "))), " ")
+    return d.select(
+        "doc_id", "source",
+        F.md5(norm).alias("fp_exact_md5"),
+        F.md5(bag).alias("fp_bag_md5"),
+    )
+
+
+_SQL_FINGERPRINTS = """
+SELECT doc_id, source,
+       md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp_exact_md5,
+       md5(array_to_string(list_sort(list_distinct(string_split(
+            regexp_replace(lower(text), '\s+', ' ', 'g'), ' '))), ' ')) AS fp_bag_md5
+FROM documents
+"""
+
+
+def _q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for the first 10 vectors as queries."""
+    emb = _embeddings(spark, sf_dir)
+    qs = emb.where(F.col("vec_id") < 10)
+    out = sim_ops.cosine_topk_bruteforce(emb, qs, k=5)
+    return out.select("query_id", "corpus_id", "rank", _sci(F.col("cosine")).alias("cosine"))
+
+
+_SQL_KNN = """
+WITH v AS (
+  SELECT vec_id, embedding,
+         sqrt((SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) FROM unnest(embedding) AS t(x))) AS nrm
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn FROM v WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, v.vec_id AS corpus_id,
+         list_dot_product(CAST(q.qe AS DOUBLE[]), CAST(v.embedding AS DOUBLE[])) / (q.qn * v.nrm) AS cosine
+  FROM q JOIN v ON v.vec_id != q.query_id
+),
+ranked AS (
+  SELECT query_id, corpus_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, corpus_id, CAST(rank AS INTEGER) AS rank, printf('%.5e', cosine) AS cosine
+FROM ranked WHERE rank <= 5
+"""
+
+
+def _q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs (signatures/banding are engine-native
+    xxhash64 — rows-only; semantics tested in tests/test_dataops.py)."""
+    return dedup_ops.minhash_dedup_pairs(
+        _documents(spark, sf_dir), shingle_k=2, threshold=0.6
+    ).orderBy("id_a", "id_b")
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs — rows-only (bit-vote hashing)."""
+    return dedup_ops.simhash_near_pairs(_documents(spark, sf_dir), max_hamming=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rollup_1m": _q_rollup_1m,
@@ -629,6 +759,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "el_test": _q_el_test,
         "hac_covariance": _q_hac,
         "acd_fit_1h": _q_acd_fit,
+        "text_quality": _q_text_quality,
+        "lang_id": _q_lang_id,
+        "dedup_fingerprints": _q_fingerprints,
+        "embedding_knn": _q_knn,
+        "dedup_minhash_lsh": _q_minhash_dedup,
+        "dedup_simhash": _q_simhash,
     }
 
 
@@ -649,6 +785,10 @@ def oracle_sql() -> dict[str, str]:
         "embedding_norms": _SQL_EMBEDDING_NORMS,
         "el_test": _SQL_EL_TEST,
         "hac_covariance": _SQL_HAC,
+        "text_quality": _SQL_TEXT_QUALITY,
+        "lang_id": _SQL_LANG_ID,
+        "dedup_fingerprints": _SQL_FINGERPRINTS,
+        "embedding_knn": _SQL_KNN,
         # ewma_1h / acd_forecast_1h / acd_fit_1h: recursive/optimizer-
         # driven — rows-only by design
     }

@@ -1,0 +1,137 @@
+"""Similarity search over embedding columns.
+
+* ``cosine_topk_bruteforce`` — exact top-k per query via a broadcast
+  join of the (small) query set against the corpus: the corpus side
+  never shuffles, per-partition top-k via window rank. The baseline.
+* ``random_hyperplane_buckets`` + ``cosine_topk_lsh`` — the scale path:
+  multi-table sign-LSH (L independent tables of b hyperplane bits —
+  the standard OR-amplification; collision prob per table
+  (1−θ/π)^b, overall 1−(1−p^b)^L). The projection is one numpy GEMM
+  per Arrow batch; candidate generation is a bucket join on
+  (table, bucket); exact cosine re-rank runs only inside candidates.
+
+Dot products on the JVM side use ``zip_with``/``aggregate`` (no Python
+per row); the LSH projection is the only Python stage.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _norm_col(vec_col: str):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(F.col(vec_col), lambda x: x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x * x,
+        )
+    )
+
+
+def _dot(a: str, b: str):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine_topk_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the query set, scan the corpus
+    once, window-rank per query. Plan: BroadcastNestedLoopJoin →
+    project (JVM dot) → per-query top-k window."""
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("cv"), _norm_col(vec_col).alias("cn")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), _norm_col(vec_col).alias("qn")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("corpus_id") != F.col("query_id"))
+        .withColumn("cosine", _dot("qv", "cv") / (F.col("qn") * F.col("cn")))
+        .select("query_id", "corpus_id", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def random_hyperplane_buckets(
+    df: DataFrame,
+    n_bits: int = 6,
+    n_tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Sign-LSH bucket ids: one row per (vector, table) with columns
+    ``table`` and ``bucket`` (the b sign bits of that table's seeded
+    Gaussian projection). One GEMM per Arrow batch for ALL tables."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_bits * n_tables))
+    weights = 1 << np.arange(n_bits, dtype=np.int64)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _buckets(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)
+        bits = (mat @ planes) > 0  # (batch, n_bits*n_tables)
+        bits = bits.reshape(len(mat), n_tables, n_bits)
+        codes = bits @ weights  # (batch, n_tables)
+        return pd.Series(list(codes))
+
+    out = df.withColumn("_bkts", _buckets(F.col(vec_col)))
+    return out.select(
+        "*", F.posexplode("_bkts").alias("table", "bucket")
+    ).drop("_bkts")
+
+
+def cosine_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_bits: int = 6,
+    n_tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: candidates = corpus vectors sharing any
+    (table, bucket) with the query; exact cosine re-rank inside
+    candidates. At scale the corpus side is written bucketed by
+    (table, bucket) so only the probe side shuffles."""
+    cb = random_hyperplane_buckets(corpus, n_bits, n_tables, id_col, vec_col, seed=seed).select(
+        F.col(id_col).alias("corpus_id"),
+        F.col(vec_col).alias("cv"),
+        _norm_col(vec_col).alias("cn"),
+        "table",
+        "bucket",
+    )
+    qb = random_hyperplane_buckets(queries, n_bits, n_tables, id_col, vec_col, seed=seed).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        _norm_col(vec_col).alias("qn"),
+        "table",
+        "bucket",
+    )
+    cands = (
+        qb.join(cb, ["table", "bucket"])
+        .where(F.col("query_id") != F.col("corpus_id"))
+        .dropDuplicates(["query_id", "corpus_id"])
+        .withColumn("cosine", _dot("qv", "cv") / (F.col("qn") * F.col("cn")))
+        .select("query_id", "corpus_id", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
+    return cands.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

@@ -1,0 +1,78 @@
+"""Structured Streaming variants of the rollup pipeline.
+
+The batch engine (operators/rollup.py + plans/tiers.py) is the v0
+materialization path; this module provides the streaming equivalents
+(SURVEY.md §2.9):
+
+* ``stream_rollup`` — ``readStream`` file source → event-time watermark
+  → tumbling-window aggregate. Watermarking bounds state: buckets older
+  than the watermark are finalized and dropped from the state store.
+* ``run_incremental`` — micro-batch (``availableNow``) execution with a
+  ``foreachBatch`` MERGE into the tier store: each micro-batch's
+  touched buckets are recomputed idempotently, giving exactly-once tier
+  maintenance on top of at-least-once file ingestion; late rows simply
+  re-dirty their bucket (same semantics as the batch pipeline).
+
+The aggregate set matches the batch tiers exactly (sum/count/min/max
+compose), so a tier can be served from either path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.rollup import TIERS
+
+
+def stream_rollup(
+    spark: SparkSession,
+    input_path: str,
+    schema,
+    tier: str = "1m",
+    keys: list[str] | None = None,
+    ts_col: str = "ts",
+    value_col: str = "n_tok",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming tumbling rollup with late-data watermark."""
+    keys = keys if keys is not None else ["source"]
+    width = {"1m": "1 minute", "1h": "1 hour", "1d": "1 day"}[tier]
+    stream = spark.readStream.schema(schema).parquet(input_path)
+    v = F.col(value_col)
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(*keys, F.window(ts_col, width).alias("win"))
+        .agg(
+            F.sum(v).alias("tok_sum"),
+            F.count(v).alias("tok_count"),
+            F.min(v).alias("tok_min"),
+            F.max(v).alias("tok_max"),
+        )
+        .select(*keys, F.col("win.start").alias("bucket_ts"), "tok_sum", "tok_count", "tok_min", "tok_max")
+    )
+
+
+def run_incremental(
+    agg_stream: DataFrame,
+    checkpoint_dir: str,
+    merge_fn,
+    trigger_available_now: bool = True,
+):
+    """Drive the streaming aggregate with foreachBatch(merge_fn) —
+    ``merge_fn(batch_df, batch_id)`` receives finalized/updated buckets
+    and MERGEs them into the tier table (plans/tiers.py semantics).
+    ``availableNow`` processes the current backlog and stops: the
+    incremental-batch mode the engine uses for tier maintenance."""
+    writer = (
+        agg_stream.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(merge_fn)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def tier_names() -> list[str]:
+    return sorted(TIERS)

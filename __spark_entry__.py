@@ -36,6 +36,7 @@ from rust_timeseries_spark.stats import hac as hac_stats  # noqa: E402
 from rust_timeseries_spark.operators import dedup as dedup_ops  # noqa: E402
 from rust_timeseries_spark.operators import similarity as sim_ops  # noqa: E402
 from rust_timeseries_spark.operators import textops  # noqa: E402
+from rust_timeseries_spark.operators import compress as compress_ops  # noqa: E402
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -739,6 +740,41 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.simhash_near_pairs(_documents(spark, sf_dir), max_hamming=10)
 
 
+def _q_compression_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gorilla/delta-of-delta round-trip: the 1h tier is packed into
+    per-(key, day) binary blocks and decoded back; the oracle is the
+    plain 1h rollup — exact equality proves decode∘encode = identity.
+    tok_sum is scaled to integer centi-units for the int64 codec."""
+    t1h = rollup.rollup_raw(_events(spark, sf_dir), "1h", ["event_type"], "ts", "value", epoch=True)
+    t1h = t1h.select(
+        F.col("event_type").alias("source"), "bucket_ts",
+        F.round(F.col("tok_sum") * 100).cast("long").alias("tok_sum"),
+        "tok_count",
+        F.round(F.col("tok_min") * 100).cast("long").alias("tok_min"),
+        F.round(F.col("tok_max") * 100).cast("long").alias("tok_max"),
+    )
+    blocks = compress_ops.compress_tier(t1h, "1d")
+    back = compress_ops.decompress_blocks(blocks)
+    return back.select(
+        F.col("source").alias("event_type"), "bucket_ts",
+        "tok_sum", "tok_count", "tok_min", "tok_max",
+    )
+
+
+_SQL_COMPRESSION_ROUNDTRIP = """
+WITH e AS (
+  SELECT event_type, es - es % 3600 AS bucket_ts, value
+  FROM (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS es, value FROM events)
+)
+SELECT event_type, bucket_ts,
+       CAST(round(sum(value) * 100) AS BIGINT) AS tok_sum,
+       count(value) AS tok_count,
+       CAST(round(min(value) * 100) AS BIGINT) AS tok_min,
+       CAST(round(max(value) * 100) AS BIGINT) AS tok_max
+FROM e GROUP BY event_type, bucket_ts
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rollup_1m": _q_rollup_1m,
@@ -765,6 +801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_knn": _q_knn,
         "dedup_minhash_lsh": _q_minhash_dedup,
         "dedup_simhash": _q_simhash,
+        "compression_roundtrip": _q_compression_roundtrip,
     }
 
 
@@ -789,6 +826,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _SQL_LANG_ID,
         "dedup_fingerprints": _SQL_FINGERPRINTS,
         "embedding_knn": _SQL_KNN,
+        "compression_roundtrip": _SQL_COMPRESSION_ROUNDTRIP,
         # ewma_1h / acd_forecast_1h / acd_fit_1h: recursive/optimizer-
         # driven — rows-only by design
     }

@@ -147,3 +147,74 @@ def series_df(spark: SparkSession, keyed_arrays: dict[str, np.ndarray]) -> DataF
         for t, v in enumerate(np.asarray(arr, dtype=np.float64))
     ]
     return spark.createDataFrame(rows, "key string, t long, v double")
+
+
+# ---------------------------------------------------------------------------
+# ACD path simulation (reference G1/G2: innovations.rs:611-627 draw law,
+# SimOpts defaults options.rs:404-411 — the reference's own simulation
+# engine is declared planned-but-unimplemented, README.md:406-409)
+# ---------------------------------------------------------------------------
+
+def draw_innovations(n: int, law: str = "exponential", law_params: dict | None = None,
+                     seed: int = 42) -> np.ndarray:
+    """Unit-mean innovation draws per the reference's law definitions:
+    Exponential(1); Weibull(λ(k), k); GeneralizedGamma via Z~Gamma(d/p,1),
+    ε = a·Z^{1/p} (innovations.rs:611-627)."""
+    from .functions.scalar import gengamma_a, weibull_lambda
+
+    rng = np.random.default_rng(seed)
+    law_params = law_params or {}
+    if law == "exponential":
+        return rng.exponential(1.0, size=n)
+    if law == "weibull":
+        k = law_params["k"]
+        lam = weibull_lambda(k)
+        return lam * rng.weibull(k, size=n)
+    if law == "generalized_gamma":
+        p, d = law_params["p"], law_params["d"]
+        a = gengamma_a(p, d)
+        z = rng.gamma(d / p, 1.0, size=n)
+        return a * z ** (1.0 / p)
+    raise ValueError(law)
+
+
+def simulate_acd(
+    n: int,
+    omega: float,
+    alpha: list[float],
+    beta: list[float],
+    law: str = "exponential",
+    law_params: dict | None = None,
+    seed: int = 42,
+    burn_in: int = 2000,
+    psi_init: list[float] | None = None,
+) -> dict:
+    """Simulate an ACD(p,q) duration path x_t = ψ_t·ε_t with the pinned
+    recursion semantics (warm start = SimStart::Warm{burn_in=2000}
+    default, options.rs:450-454; cold start from explicit ψ-lags).
+    Returns {x, psi, eps} for the post-burn-in sample."""
+    from .operators.recursion import psi_recursion_np  # noqa: F401 (semantics ref)
+
+    alpha_a = np.asarray(alpha, dtype=np.float64)
+    beta_a = np.asarray(beta, dtype=np.float64)
+    q, p = len(alpha_a), len(beta_a)
+    total = n + (burn_in if psi_init is None else 0)
+    eps = draw_innovations(total, law, law_params, seed)
+    mu = omega / (1.0 - alpha_a.sum() - beta_a.sum())
+    psi_hist = list(psi_init) if psi_init is not None else [mu] * p
+    dur_hist = [mu] * q
+    psi_out = np.empty(total)
+    x_out = np.empty(total)
+    for t in range(total):
+        # same lag conventions as the in-sample recursion: α over the
+        # last q durations newest→oldest, β over ψ history
+        s_alpha = sum(alpha_a[i] * dur_hist[-(i + 1)] for i in range(q))
+        s_beta = sum(beta_a[j] * psi_hist[-(j + 1)] for j in range(p))
+        psi_t = omega + s_alpha + s_beta
+        x_t = psi_t * eps[t]
+        psi_out[t] = psi_t
+        x_out[t] = x_t
+        psi_hist.append(psi_t)
+        dur_hist.append(x_t)
+    skip = total - n
+    return {"x": x_out[skip:], "psi": psi_out[skip:], "eps": eps[skip:]}

@@ -39,8 +39,10 @@ from rust_timeseries_spark.operators import gapfill, rollup
 
 cpus = int(sys.argv[1])
 runs = int(sys.argv[2])
-spark = build_spark(app_name=f"scale-{cpus}", master=f"local[{cpus}]", shuffle_partitions=cpus * 2)
-# (driver mem set via env below)
+spark = build_spark(
+    app_name=f"scale-{cpus}", master=f"local[{cpus}]", shuffle_partitions=cpus * 2,
+    extra_conf={"spark.sql.files.maxPartitionBytes": str(32 * 1024 * 1024)},
+)
 times, times_1m = [], []
 for i in range(runs + 1):  # first run = warm-up (page cache, JIT, codegen)
     # (a) the at-scale-dominant stage: raw scan -> 1m hash aggregate.
@@ -51,12 +53,16 @@ for i in range(runs + 1):  # first run = warm-up (page cache, JIT, codegen)
     t1m = rollup.rollup_raw(df, "1m")
     t1m.write.format("noop").mode("overwrite").save()
     dt_1m = time.perf_counter() - t0
-    # (b) full cascade + gap-fill (downstream tiers are tiny fixed cost)
+    # (b) full pipeline: 1m materialized once (persist stands in for the
+    # tier write), 1h/1d fold-ups + gap-fill read the materialized tier
     t0 = time.perf_counter()
-    tiers = rollup.tier_cascade(spark.read.parquet("%(data)s"))
-    dense = gapfill.locf(gapfill.densify(tiers["1h"], "1h"), ["tok_sum"])
+    t1m = rollup.rollup_raw(spark.read.parquet("%(data)s"), "1m").persist()
+    t1h = rollup.fold_up(t1m, "1h")
+    t1d = rollup.fold_up(t1h, "1d")
+    dense = gapfill.locf(gapfill.densify(t1h, "1h"), ["tok_sum"])
     dense.write.format("noop").mode("overwrite").save()
-    tiers["1d"].write.format("noop").mode("overwrite").save()
+    t1d.write.format("noop").mode("overwrite").save()
+    t1m.unpersist()
     dt = time.perf_counter() - t0
     if i > 0:
         times_1m.append(dt_1m)
@@ -91,30 +97,35 @@ def run_level(cpus: int, runs: int = 2) -> dict:
 
 def main() -> None:
     n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
+    lo = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    hi = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    runs = int(sys.argv[4]) if len(sys.argv) > 4 else 2
     materialize(n_rows)
-    r8 = run_level(8)
-    r32 = run_level(32)
+    r8 = run_level(lo, runs)
+    r32 = run_level(hi, runs)
     t8 = statistics.median(r8["times"])
     t32 = statistics.median(r32["times"])
     t8m = statistics.median(r8["times_1m"])
     t32m = statistics.median(r32["times_1m"])
+    ratio = hi / lo
     result = {
         "n_rows": n_rows,
+        "levels": [lo, hi],
         "rollup_1m_stage": {
-            "t_local8_sec": round(t8m, 3),
-            "t_local32_sec": round(t32m, 3),
-            "throughput_local8_seq_per_sec": round(n_rows / t8m, 1),
-            "throughput_local32_seq_per_sec": round(n_rows / t32m, 1),
-            "scaling_efficiency_8_to_32": round((t8m / t32m) / 4, 3),
+            "t_lo_sec": round(t8m, 3),
+            "t_hi_sec": round(t32m, 3),
+            "throughput_lo_seq_per_sec": round(n_rows / t8m, 1),
+            "throughput_hi_seq_per_sec": round(n_rows / t32m, 1),
+            "scaling_efficiency": round((t8m / t32m) / ratio, 3),
         },
         "full_cascade_gapfill": {
-            "t_local8_sec": round(t8, 3),
-            "t_local32_sec": round(t32, 3),
-            "throughput_local8_seq_per_sec": round(n_rows / t8, 1),
-            "throughput_local32_seq_per_sec": round(n_rows / t32, 1),
-            "scaling_efficiency_8_to_32": round((t8 / t32) / 4, 3),
+            "t_lo_sec": round(t8, 3),
+            "t_hi_sec": round(t32, 3),
+            "throughput_lo_seq_per_sec": round(n_rows / t8, 1),
+            "throughput_hi_seq_per_sec": round(n_rows / t32, 1),
+            "scaling_efficiency": round((t8 / t32) / ratio, 3),
         },
-        "runs": {"local8": r8, "local32": r32},
+        "runs": {"lo": r8, "hi": r32},
     }
     print(json.dumps(result))
 

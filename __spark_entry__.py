@@ -775,6 +775,94 @@ FROM e GROUP BY event_type, bucket_ts
 """
 
 
+def _q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary over lineitem — exercises the
+    general multi-aggregate path (means via round2(sum)/count)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(
+        F.col("l_shipdate") <= F.lit("2025-09-01").cast("timestamp_ntz")
+    )
+    g = li.groupBy("l_returnflag", "l_linestatus").agg(
+        _r2(F.sum("l_quantity")).alias("sum_qty"),
+        _r2(F.sum("l_extendedprice")).alias("sum_base_price"),
+        F.count(F.lit(1)).alias("count_order"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_extendedprice").alias("max_price"),
+    )
+    return g.withColumn("avg_qty", F.col("sum_qty") / F.col("count_order"))
+
+
+_SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       count(*) AS count_order,
+       min(l_quantity) AS min_qty,
+       max(l_extendedprice) AS max_price,
+       round(sum(l_quantity), 2) / count(*) AS avg_qty
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2025-09-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def _q_orders_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily order rollup joined with the (broadcast) customer→nation→
+    region dimension chain — the engine's J3 dimension-join pattern."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    dim = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
+        "c_custkey", F.col("n_name").alias("nation")
+    )
+    enriched = o.join(F.broadcast(dim), o.o_custkey == dim.c_custkey)
+    day = rollup.bucket_col("o_orderdate", "1d", epoch=True, dtype=dict(o.dtypes)["o_orderdate"])
+    return (
+        enriched.groupBy("nation", day.alias("order_day"))
+        .agg(
+            _r2(F.sum("o_totalprice")).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+_SQL_ORDERS_DIM_JOIN = """
+SELECT n.n_name AS nation,
+       es - es % 86400 AS order_day,
+       round(sum(o.o_totalprice), 2) AS revenue,
+       count(*) AS n_orders
+FROM (SELECT o_custkey, o_totalprice, CAST(floor(epoch(o_orderdate)) AS BIGINT) AS es FROM orders) o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY nation, order_day
+"""
+
+
+def _q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact + approximate distinct users per (event_type, day): exact
+    is oracle-checked; the HLL sketch column is engine-side only and
+    therefore emitted as a bounded relative-error flag (within 5%)."""
+    ev = _events(spark, sf_dir)
+    day = rollup.bucket_col("ts", "1d", epoch=True, dtype=dict(ev.dtypes)["ts"])
+    g = ev.groupBy("event_type", day.alias("bucket_ts")).agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.approx_count_distinct("user_id").alias("_approx"),
+    )
+    return g.select(
+        "event_type", "bucket_ts", "n_users",
+        (F.abs(F.col("_approx") - F.col("n_users")) <= 0.05 * F.col("n_users") + 5).alias("hll_within_5pct"),
+    )
+
+
+_SQL_DISTINCT_USERS = """
+SELECT event_type,
+       es - es % 86400 AS bucket_ts,
+       count(DISTINCT user_id) AS n_users,
+       TRUE AS hll_within_5pct
+FROM (SELECT event_type, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events)
+GROUP BY event_type, bucket_ts
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rollup_1m": _q_rollup_1m,
@@ -802,6 +890,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _q_minhash_dedup,
         "dedup_simhash": _q_simhash,
         "compression_roundtrip": _q_compression_roundtrip,
+        "pricing_summary": _q_pricing_summary,
+        "orders_dim_join": _q_orders_dim_join,
+        "distinct_users_1d": _q_distinct_users,
     }
 
 
@@ -827,6 +918,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_fingerprints": _SQL_FINGERPRINTS,
         "embedding_knn": _SQL_KNN,
         "compression_roundtrip": _SQL_COMPRESSION_ROUNDTRIP,
+        "pricing_summary": _SQL_PRICING_SUMMARY,
+        "orders_dim_join": _SQL_ORDERS_DIM_JOIN,
+        "distinct_users_1d": _SQL_DISTINCT_USERS,
         # ewma_1h / acd_forecast_1h / acd_fit_1h: recursive/optimizer-
         # driven — rows-only by design
     }

@@ -31,6 +31,7 @@ from pyspark.sql import types as T
 from ..constants import DEFAULT_PSI_GUARDS, STATIONARITY_MARGIN
 from ..functions import scalar as S
 from ..operators.recursion import psi_recursion_np, seed_init
+from .. import validation as V
 from .hac import hac_covariance_np
 from .optim import lbfgs_minimize
 
@@ -55,10 +56,11 @@ class AcdSpec:
         if self.law == "exponential":
             return {}
         if self.law == "weibull":
-            k = self.law_params["k"]
+            k = V.validate_weibull_param(self.law_params["k"])
             return {"k": k, "lambda": S.weibull_lambda(k)}
         if self.law == "generalized_gamma":
-            pp, d = self.law_params["p"], self.law_params["d"]
+            pp = V.validate_gamma_param(self.law_params["p"])
+            d = V.validate_gamma_param(self.law_params["d"])
             return {"p": pp, "d": d, "a": S.gengamma_a(pp, d)}
         raise ValueError(self.law)
 
@@ -170,8 +172,8 @@ def fit_series(x: np.ndarray, theta0: np.ndarray, spec: AcdSpec) -> dict:
     convergence recompute ψ at θ̂ and keep the last p ψ-lags
     (acd.rs:315-326)."""
     x = np.asarray(x, dtype=np.float64)
-    if np.any(~np.isfinite(x)) or np.any(x <= 0.0):
-        raise ValueError("NonPositiveData")  # data.rs:167-188
+    V.validate_series(x, spec.t0)  # data.rs:167-188
+    V.validate_theta(np.asarray(theta0, dtype=np.float64), spec.p, spec.q)  # validation.rs:726
 
     def f(t):
         try:

@@ -38,3 +38,44 @@ def test_stream_rollup_matches_batch(spark, tmp_path):
         for r in batch.collect()
     }
     assert merged == expected
+
+
+def test_stateful_streaming_ewma_bit_exact(spark, tmp_path):
+    import numpy as np
+    from rust_timeseries_spark.operators import recursion as rec
+    from rust_timeseries_spark.streaming import ewma_stream
+
+    # two time-ordered file drops per key
+    rng = np.random.default_rng(5)
+    series = {f"k{i}": 1.0 + rng.random(40) for i in range(4)}
+    rows = [(k, t, float(v)) for k, xs in series.items() for t, v in enumerate(xs)]
+    in_dir = str(tmp_path / "sin")
+    df = spark.createDataFrame(rows, "key string, t long, v double")
+    df.where(F.col("t") < 20).coalesce(1).write.mode("append").parquet(in_dir)
+    df.where(F.col("t") >= 20).coalesce(1).write.mode("append").parquet(in_dir)
+
+    stream = spark.readStream.schema(df.schema).option("maxFilesPerTrigger", 1).parquet(in_dir)
+    out = ewma_stream.ewma_stateful(stream, alpha=0.3, init_value=1.5)
+    got = {}
+
+    def sink(batch_df, _bid):
+        for r in batch_df.collect():
+            got[(r["key"], r["t"])] = r["psi"]
+
+    q = (
+        out.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sckpt"))
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # bit-exact vs one uninterrupted batch recursion per key
+    for k, xs in series.items():
+        exp = rec.psi_recursion_np(
+            np.asarray(xs), 0.0, np.array([0.3]), np.array([0.7]),
+            np.array([1.5]), np.array([1.5]), guards=(-np.inf, np.inf),
+        )
+        for t in range(len(xs)):
+            assert got[(k, t)] == exp[t], (k, t)

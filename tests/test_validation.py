@@ -1,0 +1,64 @@
+import numpy as np
+import pytest
+
+from rust_timeseries_spark import validation as V
+
+
+def test_scalar_param_validators():
+    assert V.validate_weibull_param(1.5) == 1.5
+    for bad in (0.0, -1.0, float("nan"), float("inf")):
+        with pytest.raises(ValueError, match="InvalidWeibullParam"):
+            V.validate_weibull_param(bad)
+        with pytest.raises(ValueError, match="InvalidGenGammaParam"):
+            V.validate_gamma_param(bad)
+    with pytest.raises(ValueError, match="InvalidOmega"):
+        V.validate_omega(0.0)
+
+
+def test_vector_validators():
+    with pytest.raises(ValueError, match="InvalidDurationLength"):
+        V.validate_duration_lags(np.array([1.0]), 2)
+    with pytest.raises(ValueError, match="InvalidDurationLags: index=1"):
+        V.validate_duration_lags(np.array([1.0, -1.0]), 2)
+    with pytest.raises(ValueError, match="InvalidPsiLags"):
+        V.validate_psi_lags(np.array([0.0]), 1)
+    with pytest.raises(ValueError, match="AlphaLengthMismatch"):
+        V.validate_alpha(np.array([0.1]), 2)
+    with pytest.raises(ValueError, match="InvalidBeta: index=0"):
+        V.validate_beta(np.array([-0.1]), 1)
+    with pytest.raises(ValueError, match="ThetaLengthMismatch: expected=3 actual=2"):
+        V.validate_theta(np.array([0.1, 0.2]), 1, 1)
+    with pytest.raises(ValueError, match="InvalidThetaInput"):
+        V.validate_theta(np.array([0.1, np.nan, 0.2]), 1, 1)
+
+
+def test_stationarity_and_slack():
+    a, b = np.array([0.2]), np.array([0.3])
+    V.validate_stationarity_and_slack(a, b, (1 - 1e-6) - 0.5)  # ok
+    with pytest.raises(ValueError, match="StationarityViolated"):
+        V.validate_stationarity_and_slack(a, b, 0.6)
+    with pytest.raises(ValueError, match="InvalidSlack"):
+        V.validate_stationarity_and_slack(a, b, -0.1)
+
+
+def test_loglik_and_series():
+    with pytest.raises(ValueError, match="InvalidLogLikInput"):
+        V.validate_loglik_params(-1.0, 1.0)
+    with pytest.raises(ValueError, match="InvalidPsiLogLik"):
+        V.validate_loglik_params(1.0, 0.0)
+    with pytest.raises(ValueError, match="EmptyData"):
+        V.validate_series(np.array([]))
+    with pytest.raises(ValueError, match="NonFiniteData"):
+        V.validate_series(np.array([1.0, np.nan]))
+    with pytest.raises(ValueError, match="NonPositiveData"):
+        V.validate_series(np.array([1.0, 0.0]))
+    with pytest.raises(ValueError, match="InvalidT0"):
+        V.validate_series(np.array([1.0, 2.0]), t0=2)
+
+
+def test_fit_series_uses_validators():
+    from rust_timeseries_spark.stats import acd
+    with pytest.raises(ValueError, match="NonPositiveData"):
+        acd.fit_series(np.array([1.0, -2.0]), np.zeros(3), acd.AcdSpec())
+    with pytest.raises(ValueError, match="ThetaLengthMismatch"):
+        acd.fit_series(np.array([1.0, 2.0, 3.0]), np.zeros(2), acd.AcdSpec(p=1, q=1))

@@ -731,8 +731,9 @@ def _q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs (signatures/banding are engine-native
     xxhash64 — rows-only; semantics tested in tests/test_dataops.py)."""
     return dedup_ops.minhash_dedup_pairs(
-        _documents(spark, sf_dir), shingle_k=2, threshold=0.6
-    ).orderBy("id_a", "id_b")
+        _documents(spark, sf_dir), shingle_k=3, num_perm=32, bands=8,
+        rows_per_band=4, threshold=0.5,
+    )
 
 
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -45,16 +45,23 @@ def main() -> None:
         "gapfill_linear_1h",
         "lag_moments",
         "ewma_1h",
+        "el_test",
+        "hac_covariance",
+        "pricing_summary",
+        "orders_dim_join",
         "dedup_exact",
         "ngram_jaccard",
-        "embedding_norms",
+        "embedding_knn",
+        "text_quality",
+        "compression_roundtrip",
     ]
     qs = entrymod.queries()
     timings: dict[str, float] = {}
     for name in headline:
         t0 = time.perf_counter()
-        # count() forces full execution without driver-side materialization
-        qs[name](spark, sf_dir).count()
+        # noop sink forces FULL materialization (count() would let
+        # Catalyst prune computed columns out of the plan)
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
     # north-rule workload: token cascade throughput

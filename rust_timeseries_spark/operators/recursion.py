@@ -38,7 +38,8 @@ from typing import Iterable
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..constants import DEFAULT_PSI_GUARDS
@@ -304,3 +305,146 @@ def ewma_affine_segments(x: np.ndarray, alpha: float, beta: float, omega: float,
             a_acc, b_acc = beta * a_acc, beta * b_acc + c_t
         A[s], b[s] = a_acc, b_acc
     return bounds, A, b
+
+
+def ewma_distributed(
+    df: DataFrame,
+    keys: list[str],
+    alpha: float,
+    n_segments: int = 32,
+    value_col: str = "v",
+    order_col: str = "t",
+    init: str = "fixed",
+    fixed_value: float | None = None,
+    omega: float = 0.0,
+    beta: float | None = None,
+) -> DataFrame:
+    """Giant-key escape hatch (SURVEY.md §4.3.1): parallel-prefix EWMA /
+    ACD(1,1) for keys too large for one worker.
+
+    The recursion ψ_t = β ψ_{t−1} + (ω + α x_{t−1}) is an affine scan,
+    so it parallelizes in two passes:
+
+    1. split each key's series into ``n_segments`` contiguous ranges of
+       ``order_col``; per (key, segment) compute the affine composition
+       ψ_end = A·ψ_start + b AND remember the segment's first/last
+       observation (one ``applyInPandas`` pass, all segments parallel);
+    2. compose the (A, b) maps in segment order on the driver (tiny:
+       keys × segments rows) to obtain each segment's exact boundary
+       seed, broadcast the seeds back, and re-run each segment's
+       recursion from its seed (second parallel pass).
+
+    Pass 2 reproduces the sequential per-key kernel to float tolerance
+    (~1e-12 relative): the boundary seeds come from composed affine maps
+    whose op order differs from the sequential loop. For bit parity use
+    ``ewma``/``acd_psi`` (single-worker per key) — at engine scale keys
+    are bucketed tier series, which always fit.
+    """
+    if beta is None:
+        beta = 1.0 - alpha
+    if init == "fixed":
+        if fixed_value is None:
+            raise ValueError("init='fixed' requires fixed_value")
+        seed_expr = float(fixed_value)
+    else:
+        raise ValueError("ewma_distributed supports init='fixed' (checkpointed seeds)")
+
+    key_fields = [df.schema[k] for k in keys]
+
+    # segment assignment by order-col ntile (deterministic, contiguous)
+    w = Window.partitionBy(*keys).orderBy(order_col)
+    seg_df = df.select(*keys, order_col, value_col).withColumn(
+        "_seg", F.ntile(n_segments).over(w)
+    )
+
+    # ---- pass 1: per-segment affine composition --------------------------
+    sum_schema = T.StructType(
+        [
+            *key_fields,
+            T.StructField("_seg", T.IntegerType()),
+            T.StructField("A", T.DoubleType()),
+            T.StructField("b", T.DoubleType()),
+            T.StructField("first_t", df.schema[order_col].dataType, False),
+            T.StructField("last_x", T.DoubleType()),
+            T.StructField("prev_needed", T.BooleanType()),
+        ]
+    )
+    a_c, b_c, om = float(alpha), float(beta), float(omega)
+
+    def summarize(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col, kind="mergesort")
+        x = pdf[value_col].to_numpy(dtype=np.float64)
+        # within-segment scan: ψ_{i+1} = β ψ_i + (ω + α x_i) given the
+        # segment's first duration-lag comes from the PREVIOUS segment's
+        # last x (handled by the driver compose); here we compose the
+        # map for steps driven by x[0..n-1] EXCLUDING the boundary step,
+        # which depends on the previous segment's last_x.
+        A_acc, b_acc = 1.0, 0.0
+        for xi in x[:-1]:
+            # step: psi <- β psi + (ω + α xi)
+            A_acc = b_c * A_acc
+            b_acc = b_c * b_acc + (om + a_c * xi)
+        return pd.DataFrame(
+            {
+                **{k: [pdf[k].iloc[0]] for k in keys},
+                "_seg": [int(pdf["_seg"].iloc[0])],
+                "A": [A_acc],
+                "b": [b_acc],
+                "first_t": [pdf[order_col].iloc[0]],
+                "last_x": [float(x[-1])],
+                "prev_needed": [True],
+            }
+        )
+
+    summaries = seg_df.groupBy(*keys, "_seg").applyInPandas(summarize, sum_schema)
+    rows = summaries.collect()
+
+    # ---- driver compose: exact boundary (ψ, x_prev) per segment ----------
+    by_key: dict[tuple, list] = {}
+    for r in rows:
+        by_key.setdefault(tuple(r[k] for k in keys), []).append(r)
+    seeds = []
+    for kv, segs in by_key.items():
+        segs.sort(key=lambda r: r["_seg"])
+        psi = seed_expr
+        x_prev = seed_expr
+        for r in segs:
+            seeds.append((*kv, r["_seg"], psi, x_prev))
+            # advance across this segment: boundary step uses x_prev,
+            # then the composed map for the in-segment steps
+            psi_after_first = b_c * psi + (om + a_c * x_prev)
+            psi = r["A"] * psi_after_first + r["b"]
+            x_prev = r["last_x"]
+    spark = df.sparkSession
+    seeds_df = spark.createDataFrame(
+        seeds, T.StructType([*key_fields, T.StructField("_seg", T.IntegerType()),
+                             T.StructField("_psi0", T.DoubleType()),
+                             T.StructField("_x0", T.DoubleType())])
+    )
+
+    # ---- pass 2: exact per-segment recursion from the seeds --------------
+    out_schema = T.StructType(
+        [
+            *key_fields,
+            df.schema[order_col],
+            T.StructField(value_col, T.DoubleType()),
+            T.StructField("psi", T.DoubleType()),
+        ]
+    )
+
+    def replay(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col, kind="mergesort")
+        x = pdf[value_col].to_numpy(dtype=np.float64)
+        psi = psi_recursion_np(
+            x, om, np.array([a_c]), np.array([b_c]),
+            np.array([float(pdf["_psi0"].iloc[0])]),
+            np.array([float(pdf["_x0"].iloc[0])]),
+            guards=(float("-inf"), float("inf")),
+        )
+        out = pdf[[*keys, order_col]].copy()
+        out[value_col] = x
+        out["psi"] = psi
+        return out
+
+    joined = seg_df.join(F.broadcast(seeds_df), [*keys, "_seg"])
+    return joined.groupBy(*keys, "_seg").applyInPandas(replay, out_schema)

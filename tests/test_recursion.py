@@ -106,3 +106,21 @@ def test_segment_scan_tolerance_parity():
         seg = rec.psi_recursion_np(x[lo:hi], omega, np.array([alpha]), np.array([beta]), seg_pi, seg_di)
         np.testing.assert_array_equal(seg, exact[lo:hi])
         psi_start = seg[-1]
+
+
+def test_ewma_distributed_matches_sequential(spark):
+    rng = np.random.default_rng(9)
+    arrays = {f"k{i}": 1.0 + rng.random(500) for i in range(3)}
+    df = datagen.series_df(spark, arrays)
+    seq = rec.ewma(df, ["key"], alpha=0.3, init="fixed", fixed_value=2.0).orderBy("key", "t").toPandas()
+    dist = (
+        rec.ewma_distributed(df, ["key"], alpha=0.3, n_segments=8, init="fixed", fixed_value=2.0)
+        .orderBy("key", "t")
+        .toPandas()
+    )
+    assert len(seq) == len(dist)
+    np.testing.assert_allclose(dist["psi"].to_numpy(), seq["psi"].to_numpy(), rtol=1e-11)
+    # each segment's interior is bit-exact given its seed; only boundary
+    # seeds carry composition error — most points should be BIT-equal
+    frac_exact = (dist["psi"].to_numpy() == seq["psi"].to_numpy()).mean()
+    assert frac_exact > 0.5, frac_exact

@@ -199,3 +199,59 @@ def top_k_sources(tier_df: DataFrame, k: int = 5) -> DataFrame:
         .orderBy(F.desc("total_tok"), F.asc("source"))
         .limit(k)
     )
+
+
+def sliding_rollup(
+    df: DataFrame,
+    window_len: str = "10 minutes",
+    slide: str = "1 minute",
+    keys: list[str] | None = None,
+    ts_col: str = "ts",
+    value_col: str = "n_tok",
+) -> DataFrame:
+    """Sliding-window rollup (SURVEY.md W10 sliding variant):
+    ``F.window(ts, len, slide)`` — each row lands in len/slide windows;
+    Spark expands them JVM-side before the hash aggregate."""
+    keys = keys if keys is not None else ["source"]
+    v = F.col(value_col)
+    return (
+        df.groupBy(*keys, F.window(ts_col, window_len, slide).alias("win"))
+        .agg(
+            F.sum(v).alias("tok_sum"),
+            F.count(v).alias("tok_count"),
+            F.min(v).alias("tok_min"),
+            F.max(v).alias("tok_max"),
+        )
+        .select(*keys, F.col("win.start").alias("win_start"), F.col("win.end").alias("win_end"),
+                *AGG_COLS)
+    )
+
+
+def session_rollup(
+    df: DataFrame,
+    gap: str = "5 minutes",
+    keys: list[str] | None = None,
+    ts_col: str = "ts",
+    value_col: str = "n_tok",
+) -> DataFrame:
+    """Session-window rollup: adjacent events within ``gap`` merge into
+    one session (``F.session_window`` — noted optional in SURVEY §2.5,
+    included for completeness)."""
+    keys = keys if keys is not None else ["source"]
+    v = F.col(value_col)
+    return (
+        df.groupBy(*keys, F.session_window(ts_col, gap).alias("win"))
+        .agg(F.sum(v).alias("tok_sum"), F.count(v).alias("tok_count"))
+        .select(*keys, F.col("win.start").alias("session_start"),
+                F.col("win.end").alias("session_end"), "tok_sum", "tok_count")
+    )
+
+
+def tier_diff(tier_a: DataFrame, tier_b: DataFrame) -> DataFrame:
+    """Set-operation consistency check between two materializations of
+    the same tier (SURVEY.md §2.7): rows in exactly one side via
+    exceptAll both ways. Empty result ⇔ identical multisets."""
+    cols = tier_a.columns
+    only_a = tier_a.select(*cols).exceptAll(tier_b.select(*cols)).withColumn("side", F.lit("a"))
+    only_b = tier_b.select(*cols).exceptAll(tier_a.select(*cols)).withColumn("side", F.lit("b"))
+    return only_a.unionByName(only_b)

@@ -447,9 +447,33 @@ FROM (
 """
 
 
+_SQL_EWMA = """
+WITH RECURSIVE b AS (
+  SELECT event_type AS key, es - es % 3600 AS t, round(sum(value), 2) / count(value) AS v
+  FROM (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS es, value FROM events)
+  GROUP BY key, t
+),
+idx AS (
+  SELECT key, t, v, row_number() OVER (PARTITION BY key ORDER BY t) AS i,
+         sum(v) OVER (PARTITION BY key) / count(*) OVER (PARTITION BY key) AS m
+  FROM b
+),
+rec AS (
+  SELECT key, 1 AS i, 0.3 * m + 0.7 * m AS psi FROM idx WHERE i = 1
+  UNION ALL
+  SELECT r.key, r.i + 1, 0.3 * x.v + 0.7 * r.psi
+  FROM rec r JOIN idx x ON x.key = r.key AND x.i = r.i
+)
+SELECT idx.key, idx.t, idx.v AS v, printf('%.5e', rec.psi) AS ewma
+FROM rec JOIN idx ON idx.key = rec.key AND idx.i = rec.i
+"""
+
+
 def _q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EWMA over hourly mean series — recursive; rows-only check (golden
-    numerics in tests/test_recursion.py)."""
+    """EWMA over hourly mean series — the ψ recursion as a DuckDB
+    RECURSIVE CTE oracle: ψ_1 = α·m + β·m (sample-mean seed), then
+    ψ_{i+1} = α·x_i + β·ψ_i — the same op order as the kernel, so values
+    match to %.5e (the sample means differ at 1 ulp between engines)."""
     t1h = rollup.rollup_raw(_events(spark, sf_dir), "1h", ["event_type"], "ts", "value", epoch=True)
     series = t1h.select(
         F.col("event_type").alias("key"), F.col("bucket_ts").alias("t"),
@@ -460,8 +484,45 @@ def _q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL_FORECAST = """
+WITH RECURSIVE b AS (
+  SELECT event_type AS key, es - es % 3600 AS t, round(sum(value), 2) / count(value) AS v
+  FROM (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS es, value FROM events)
+  GROUP BY key, t
+),
+idx AS (
+  SELECT key, t, v, row_number() OVER (PARTITION BY key ORDER BY t) AS i,
+         count(*) OVER (PARTITION BY key) AS n
+  FROM b
+),
+rec AS (
+  SELECT key, 1 AS i, n,
+         0.2 + 0.2 * (0.2 / (1.0 - 0.2 - 0.3)) + 0.3 * (0.2 / (1.0 - 0.2 - 0.3)) AS psi
+  FROM idx WHERE i = 1
+  UNION ALL
+  SELECT r.key, r.i + 1, r.n, 0.2 + 0.2 * x.v + 0.3 * r.psi
+  FROM rec r JOIN idx x ON x.key = r.key AND x.i = r.i
+  WHERE r.i < r.n
+),
+tail AS (
+  SELECT rec.key, rec.psi AS psi_T, x.v AS x_T
+  FROM rec JOIN idx x ON x.key = rec.key AND x.i = rec.i
+  WHERE rec.i = rec.n
+),
+fc AS (
+  SELECT key, 1 AS h, 0.2 + 0.2 * x_T + 0.3 * psi_T AS psi_hat FROM tail
+  UNION ALL
+  SELECT key, h + 1, 0.2 + 0.2 * psi_hat + 0.3 * psi_hat FROM fc WHERE h < 8
+)
+SELECT key, CAST(h AS INTEGER) AS h, printf('%.5e', psi_hat) AS psi_hat FROM fc
+"""
+
+
 def _q_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ACD(1,1) ψ forecast per event_type — recursive; rows-only check."""
+    """ACD(1,1) ψ forecast per event_type: in-sample recursion (uncond-
+    mean seed) + H-step roll-forward, both mirrored as DuckDB RECURSIVE
+    CTEs with the kernel's exact op order (ψ guards never bind at these
+    magnitudes, so the clamp is a no-op on both sides)."""
     t1h = rollup.rollup_raw(_events(spark, sf_dir), "1h", ["event_type"], "ts", "value", epoch=True)
     series = t1h.select(
         F.col("event_type").alias("key"), F.col("bucket_ts").alias("t"),
@@ -914,6 +975,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_norms": _SQL_EMBEDDING_NORMS,
         "el_test": _SQL_EL_TEST,
         "hac_covariance": _SQL_HAC,
+        "ewma_1h": _SQL_EWMA,
+        "acd_forecast_1h": _SQL_FORECAST,
         "text_quality": _SQL_TEXT_QUALITY,
         "lang_id": _SQL_LANG_ID,
         "dedup_fingerprints": _SQL_FINGERPRINTS,
@@ -922,6 +985,6 @@ def oracle_sql() -> dict[str, str]:
         "pricing_summary": _SQL_PRICING_SUMMARY,
         "orders_dim_join": _SQL_ORDERS_DIM_JOIN,
         "distinct_users_1d": _SQL_DISTINCT_USERS,
-        # ewma_1h / acd_forecast_1h / acd_fit_1h: recursive/optimizer-
-        # driven — rows-only by design
+        # acd_fit_1h / dedup_minhash_lsh / dedup_simhash: optimizer-driven
+        # or engine-hash-native — rows-only by design
     }

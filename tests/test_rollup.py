@@ -118,3 +118,26 @@ def test_tier_diff_empty_for_identical(spark):
     perturbed = a.withColumn("tok_sum", F2.col("tok_sum") + F2.when(F2.rand(1) < 0.01, 1).otherwise(0))
     d = rollup.tier_diff(a, perturbed)
     assert d.count() >= 0  # runs; emptiness depends on the random perturb
+
+
+def test_token_equality_check(spark):
+    df = datagen.token_table(spark, 200)
+    from rust_timeseries_spark.sources import tokens as tok
+    r = tok.token_equality_check(df, df).collect()[0]
+    assert r["n_mismatch"] == 0 and r["n_missing"] == 0
+    # perturb one row's tokens → exactly one mismatch
+    from pyspark.sql import functions as F2
+    bad = df.withColumn(
+        "tokens",
+        F2.when(F2.col("doc_id") == "doc-000000000007",
+                F2.array_append("tokens", F2.lit(1))).otherwise(F2.col("tokens")),
+    )
+    r2 = tok.token_equality_check(bad, df).collect()[0]
+    assert r2["n_mismatch"] == 1
+
+
+def test_public_api_imports():
+    import rust_timeseries_spark as rts
+    for name in ("build_spark", "rollup_raw", "tier_cascade", "ewma", "acd_fit",
+                 "escanciano_lobato", "hac_covariance", "TierStore", "RollupPipeline"):
+        assert hasattr(rts, name), name

@@ -50,15 +50,15 @@ for i in range(runs + 1):  # first run = warm-up (page cache, JIT, codegen)
     # prune the aggregate functions away).
     t0 = time.perf_counter()
     df = spark.read.parquet("%(data)s")
-    t1m = rollup.rollup_raw(df, "1m")
+    t1m = rollup.rollup_raw(df, "1m", epoch=True)
     t1m.write.format("noop").mode("overwrite").save()
     dt_1m = time.perf_counter() - t0
     # (b) full pipeline: 1m materialized once (persist stands in for the
     # tier write), 1h/1d fold-ups + gap-fill read the materialized tier
     t0 = time.perf_counter()
-    t1m = rollup.rollup_raw(spark.read.parquet("%(data)s"), "1m").persist()
-    t1h = rollup.fold_up(t1m, "1h")
-    t1d = rollup.fold_up(t1h, "1d")
+    t1m = rollup.rollup_raw(spark.read.parquet("%(data)s"), "1m", epoch=True).persist()
+    t1h = rollup.fold_up(t1m, "1h", epoch=True)
+    t1d = rollup.fold_up(t1h, "1d", epoch=True)
     dense = gapfill.locf(gapfill.densify(t1h, "1h"), ["tok_sum"])
     dense.write.format("noop").mode("overwrite").save()
     t1d.write.format("noop").mode("overwrite").save()

@@ -72,7 +72,7 @@ def main() -> None:
     tokens = datagen.with_event_time(
         datagen.token_table(spark, token_rows, num_partitions=cpus * 2)
     ).select("doc_id", "source", "ts", "n_tok")
-    tiers = rollup.tier_cascade(tokens)
+    tiers = rollup.tier_cascade(tokens, epoch=True)
     dense = gapfill.locf(gapfill.densify(tiers["1h"], "1h"), ["tok_sum"])
     n_buckets = dense.count()
     n_1d = tiers["1d"].count()

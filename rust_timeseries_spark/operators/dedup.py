@@ -156,14 +156,37 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     group_col: str | None = None,
-    shingle_k: int = 1,
+    shingle_k: int = 3,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard for all within-group pairs via an inverted
-    index join (word → docs), not a cross join. Suitable as LSH's
-    verification stage or for modest group sizes."""
+    index join (shingle → docs), not a cross join.
+
+    Scale guard: a shingle appearing in ``f`` documents produces
+    ~``f²/2`` join rows, so high-document-frequency shingles degenerate
+    the index into a cross join through one skewed key.  ``max_df``
+    drops shingles whose document frequency exceeds the cap from BOTH
+    the index and the per-doc set sizes — the result is then the exact
+    Jaccard over the sub-``max_df`` shingle universe (the standard
+    stopword-capped Jaccard).  The hot-shingle list is tiny (only
+    shingles with DF > cap) and applied as a broadcast anti-join.
+    ``shingle_k`` defaults to 3 (rare shingles) to match the MinHash
+    path; word-level (k=1) callers should set ``max_df``.
+
+    Intended position at scale: verification stage behind
+    ``lsh_candidate_pairs`` (see ``lsh_verified_pairs``) or capped
+    standalone for modest corpora."""
     sh = F.array_distinct(shingles(text_col, shingle_k))
     gcols = [group_col] if group_col else []
     toks = df.select(id_col, *gcols, F.explode(sh).alias("tok"))
+    if max_df is not None:
+        hot = (
+            toks.groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > max_df)
+            .select("tok")
+        )
+        toks = toks.join(F.broadcast(hot), "tok", "left_anti")
     sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = toks.alias("a")
     b = toks.alias("b")
@@ -184,61 +207,144 @@ def ngram_jaccard_pairs(
     )
 
 
+def lsh_verified_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    shingle_k: int = 3,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    threshold: float = 0.7,
+    seed: int = 42,
+) -> DataFrame:
+    """The scale-correct exact-Jaccard pipeline: MinHash-LSH candidate
+    generation, then EXACT Jaccard verification restricted to candidate
+    pairs via ``array_intersect`` on per-doc shingle sets.
+
+    No inverted-index self-join anywhere: candidates come from the
+    band-bucket join (bounded by collision rate, not N²) and the
+    verification join touches |candidates| rows, each with two bounded
+    shingle arrays.  This is the operator to use when exact Jaccard ≥
+    threshold pairs are wanted from a large corpus."""
+    sigs = minhash_signatures(df, id_col, text_col, num_perm, shingle_k, seed)
+    cands = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band)
+    sets_df = df.select(
+        F.col(id_col).alias("_sid"),
+        F.array_sort(F.array_distinct(shingles(text_col, shingle_k))).alias("_sset"),
+    )
+    sa = sets_df.withColumnRenamed("_sid", "id_a").withColumnRenamed("_sset", "set_a")
+    sb = sets_df.withColumnRenamed("_sid", "id_b").withColumnRenamed("_sset", "set_b")
+    inter = F.size(F.array_intersect("set_a", "set_b"))
+    union = F.size("set_a") + F.size("set_b") - inter
+    return (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a", "id_b",
+            inter.alias("inter"),
+            union.alias("union_sz"),
+            (inter.cast("double") / union).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
 # ---------------------------------------------------------------------------
-# SimHash — Arrow-vectorized (bit math in numpy)
+# SimHash — token hashing JVM-side (xxhash64), bit-vote in numpy
 # ---------------------------------------------------------------------------
 
-_MASK64 = np.uint64(0xFFFFFFFFFFFFFFFF)
 
-
-def _hash64_str(words: list[str]) -> np.ndarray:
-    """Deterministic per-token 64-bit hashes (FNV-1a, numpy uint64)."""
-    out = np.empty(len(words), dtype=np.uint64)
-    for i, w in enumerate(words):
-        h = np.uint64(0xCBF29CE484222325)
-        for ch in w.encode("utf-8"):
-            h = np.uint64((int(h) ^ ch) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
-        out[i] = h
-    return out
+def simhash_from_hashes(hashes: np.ndarray) -> int:
+    """64-bit SimHash from token hashes (uint64 array): per-bit majority
+    vote; tie (vote == 0) → bit 0."""
+    if len(hashes) == 0:
+        return 0
+    hs = np.asarray(hashes, dtype=np.uint64)
+    bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
+    votes = (2 * bits - 1).sum(axis=0)
+    weights = np.left_shift(np.uint64(1), np.arange(64, dtype=np.uint64))
+    return int(np.bitwise_or.reduce(np.where(votes > 0, weights, np.uint64(0))))
 
 
 def simhash_np(words: list[str]) -> int:
-    """64-bit SimHash of a token list: per-bit vote of token hashes."""
+    """64-bit SimHash of a token list. Token hashes are Spark
+    ``xxhash64(token)`` (seed 42) — recomputed here via the pure-Python
+    reimplementation (functions/xxh64.py) so tests and oracle
+    generators get bit-identical values to the Spark path without a
+    session."""
+    from ..functions.xxh64 import spark_hash_string
+
     if not words:
         return 0
-    hs = _hash64_str(words)
-    bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
-    votes = (2 * bits - 1).sum(axis=0)
-    sim = np.uint64(0)
-    for b in range(64):
-        if votes[b] > 0:
-            sim |= np.uint64(1) << np.uint64(b)
-    return int(sim)
+    hs = np.array([spark_hash_string(w) for w in words], dtype=np.int64).view(np.uint64)
+    return simhash_from_hashes(hs)
 
 
 def with_simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """SimHash column via an Arrow-batched pandas UDF (returns the
-    unsigned value reinterpreted as signed int64 for a LongType col)."""
+    """SimHash column. Per-token 64-bit hashes are computed JVM-side
+    (``transform(split(text), xxhash64)`` — codegen'd, scan speed); the
+    Arrow-batched pandas UDF only does the numpy bit-vote over the hash
+    array (no Python string hashing — the round-1 per-char FNV loop is
+    gone). Returns the unsigned value reinterpreted as signed int64."""
 
     @F.pandas_udf(T.LongType())
-    def _simhash(texts: pd.Series) -> pd.Series:
-        vals = [simhash_np(t.split(" ") if t else []) for t in texts]
+    def _vote(hash_arrays: pd.Series) -> pd.Series:
+        vals = [
+            simhash_from_hashes(np.asarray(hs, dtype=np.int64).view(np.uint64))
+            for hs in hash_arrays
+        ]
         return pd.Series(np.array(vals, dtype=np.uint64).view(np.int64))
 
-    return df.withColumn("simhash", _simhash(F.col(text_col)))
+    tok_hashes = F.when(
+        F.col(text_col) != "",
+        F.transform(F.split(F.col(text_col), " "), lambda w: F.xxhash64(w)),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return df.withColumn("simhash", _vote(tok_hashes))
 
 
-def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id", max_hamming: int = 8) -> DataFrame:
-    """Near-dup pairs by SimHash: bucket on 4 16-bit chunks (a pair
-    within Hamming distance ≤ 3·16/…, by pigeonhole any pair with ≤ 3
-    differing chunks collides in ≥ 1 chunk), verify Hamming distance
-    with bit_count on the XOR. Bucket-join, no cross join."""
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    n_chunks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash with an EXACT recall guarantee.
+
+    Buckets on ``n_chunks`` equal bit-chunks of the 64-bit SimHash; by
+    pigeonhole, any pair with Hamming distance ≤ ``n_chunks − 1`` has at
+    least one identical chunk and is guaranteed to collide in a bucket.
+    ``max_hamming`` may therefore not exceed ``n_chunks − 1`` — larger
+    radii would silently miss pairs whose differing bits spread across
+    all chunks (the round-1 defect).  Candidates are verified with
+    ``bit_count`` on the XOR; bucket-join, no cross join.
+
+    Scale note: chunk width is ``64 / n_chunks`` bits, so the bucket key
+    space is ``2^(64/n_chunks)`` per chunk.  The default (4 chunks × 16
+    bits, radius ≤ 3) keeps buckets cold at corpus scale; ``n_chunks=8``
+    (8-bit chunks, radius ≤ 7) buys a wider radius at quadratically
+    hotter buckets (256 values per chunk) — use it on grouped/partitioned
+    corpora, not a raw 100 TB scan."""
+    if 64 % n_chunks != 0:
+        raise ValueError(f"n_chunks must divide 64, got {n_chunks}")
+    if max_hamming > n_chunks - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the pigeonhole guarantee of "
+            f"{n_chunks} chunks (d ≤ {n_chunks - 1}); raise n_chunks or lower max_hamming"
+        )
+    width = 64 // n_chunks
+    mask = (1 << width) - 1
     sh = with_simhash(df) if "simhash" not in df.columns else df
     chunks = sh.select(
         id_col,
         "simhash",
         F.posexplode(
-            F.array(*[F.shiftrightunsigned("simhash", 16 * i).bitwiseAND(F.lit(0xFFFF)) for i in range(4)])
+            F.array(
+                *[
+                    F.shiftrightunsigned("simhash", width * i).bitwiseAND(F.lit(mask))
+                    for i in range(n_chunks)
+                ]
+            )
         ).alias("chunk_idx", "chunk_val"),
     )
     a = chunks.alias("a")
@@ -268,11 +374,28 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     group_col: str | None = None,
+    dim: int | None = None,
+    n_bits: int = 8,
+    n_tables: int = 8,
+    seed: int = 42,
+    allow_full_pairs: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-dup: normalized dot product via
-    ``F.zip_with`` + ``F.aggregate`` (JVM). Pairs come from a group
-    restriction (or the full cross join for small inputs); at scale,
-    bucket first with ``similarity.random_hyperplane_buckets``."""
+    ``F.zip_with`` + ``F.aggregate`` (JVM).
+
+    Pair generation — three routes, safest first:
+
+    * ``group_col`` given → equi-join within groups (bounded group
+      sizes are the caller's contract);
+    * ungrouped (default) → sign-LSH bucketing via
+      ``similarity.random_hyperplane_buckets``: pairs only form inside
+      (table, bucket) cells, so there is NO full self-join in the plan
+      (approximate recall: only pairs colliding in ≥ 1 of ``n_tables``
+      tables are found — at ``threshold ≥ 0.95`` collision probability
+      per table is (1−θ/π)^n_bits with θ ≤ 18°, so recall is high);
+    * ``allow_full_pairs=True`` → the exact O(N²) self-join, explicit
+      opt-in for small inputs only.
+    """
     norm = F.sqrt(
         F.aggregate(
             F.transform(F.col(vec_col), lambda x: x.cast("double")),
@@ -286,22 +409,46 @@ def embedding_near_dup_pairs(
         F.col(vec_col).alias("v"),
         norm.alias("nrm"),
     )
-    a = base.alias("a")
-    b = base.alias("b")
-    cond = F.col("a.id") < F.col("b.id")
-    if group_col:
-        cond = cond & (F.col(f"a.{group_col}") == F.col(f"b.{group_col}"))
     dot = F.aggregate(
         F.zip_with("a.v", "b.v", lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+    cosine = (dot / (F.col("a.nrm") * F.col("b.nrm"))).alias("cosine")
+    if group_col is None and not allow_full_pairs:
+        # scale path: sign-LSH buckets; the only join key is (table, bucket)
+        from .similarity import infer_dim, random_hyperplane_buckets
+
+        if dim is None:
+            dim = infer_dim(df, vec_col)
+        bkts = random_hyperplane_buckets(
+            base, n_bits=n_bits, n_tables=n_tables, id_col="id", vec_col="v",
+            dim=dim, seed=seed,
+        ).select("id", "v", "nrm", "table", "bucket")
+        a = bkts.alias("a")
+        b = bkts.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.table") == F.col("b.table"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.id") < F.col("b.id")),
+            )
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), cosine)
+            .dropDuplicates(["id_a", "id_b"])
+            .where(F.col("cosine") >= threshold)
+        )
+    a = base.alias("a")
+    b = base.alias("b")
+    cond = F.col("a.id") < F.col("b.id")
+    if group_col:
+        cond = cond & (F.col(f"a.{group_col}") == F.col(f"b.{group_col}"))
     return (
         a.join(b, cond)
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            (dot / (F.col("a.nrm") * F.col("b.nrm"))).alias("cosine"),
+            cosine,
         )
         .where(F.col("cosine") >= threshold)
     )

@@ -66,6 +66,17 @@ def cosine_topk_bruteforce(
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def infer_dim(df: DataFrame, vec_col: str = "embedding") -> int:
+    """Embedding dimensionality via ONE tiny driver action (limit-1
+    scan of the array length). Arrays of floats have no static length
+    in the schema, so this is the honest fallback when the caller
+    can't pass ``dim``; never called inside plan-construction helpers."""
+    row = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
+    if not row:
+        raise ValueError("cannot infer dim from an empty DataFrame; pass dim=")
+    return int(row[0]["d"])
+
+
 def random_hyperplane_buckets(
     df: DataFrame,
     n_bits: int = 6,
@@ -77,9 +88,18 @@ def random_hyperplane_buckets(
 ) -> DataFrame:
     """Sign-LSH bucket ids: one row per (vector, table) with columns
     ``table`` and ``bucket`` (the b sign bits of that table's seeded
-    Gaussian projection). One GEMM per Arrow batch for ALL tables."""
+    Gaussian projection). One GEMM per Arrow batch for ALL tables.
+
+    ``dim`` (the embedding dimensionality) must be supplied — plan
+    construction is pure (no hidden driver-side action). High-level
+    entry points (``cosine_topk_lsh``) may call ``infer_dim`` once,
+    which is a documented small driver action."""
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+        raise ValueError(
+            "random_hyperplane_buckets requires dim (embedding length); "
+            "use similarity.infer_dim(df, vec_col) once at the API boundary "
+            "if it is not statically known"
+        )
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((dim, n_bits * n_tables))
     weights = 1 << np.arange(n_bits, dtype=np.int64)
@@ -107,19 +127,22 @@ def cosine_topk_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates = corpus vectors sharing any
     (table, bucket) with the query; exact cosine re-rank inside
     candidates. At scale the corpus side is written bucketed by
     (table, bucket) so only the probe side shuffles."""
-    cb = random_hyperplane_buckets(corpus, n_bits, n_tables, id_col, vec_col, seed=seed).select(
+    if dim is None:
+        dim = infer_dim(corpus, vec_col)
+    cb = random_hyperplane_buckets(corpus, n_bits, n_tables, id_col, vec_col, dim=dim, seed=seed).select(
         F.col(id_col).alias("corpus_id"),
         F.col(vec_col).alias("cv"),
         _norm_col(vec_col).alias("cn"),
         "table",
         "bucket",
     )
-    qb = random_hyperplane_buckets(queries, n_bits, n_tables, id_col, vec_col, seed=seed).select(
+    qb = random_hyperplane_buckets(queries, n_bits, n_tables, id_col, vec_col, dim=dim, seed=seed).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
         _norm_col(vec_col).alias("qn"),

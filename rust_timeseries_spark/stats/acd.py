@@ -51,6 +51,10 @@ class AcdSpec:
     t0: int | None = None
     tol_grad: float = 1e-6
     max_iter: int = 300
+    #: "MoreThuente" | "HagerZhang", case-insensitive (traits.rs:179-189)
+    line_searcher: str = "more_thuente"
+    #: per-iteration optimizer progress lines (traits.rs verbose flag)
+    verbose: bool = False
 
     def law_full_params(self) -> dict:
         if self.law == "exponential":
@@ -184,7 +188,10 @@ def fit_series(x: np.ndarray, theta0: np.ndarray, spec: AcdSpec) -> dict:
     def g(t):
         return -grad(x, t, spec)
 
-    out = lbfgs_minimize(f, g, theta0, tol_grad=spec.tol_grad, max_iter=spec.max_iter)
+    out = lbfgs_minimize(
+        f, g, theta0, tol_grad=spec.tol_grad, max_iter=spec.max_iter,
+        line_searcher=spec.line_searcher, verbose=spec.verbose,
+    )
     theta_hat = out.theta_hat
     psi, omega, alpha, beta, slack, pi, di = _compute_psi(x, theta_hat, spec)
     p = spec.p
@@ -202,7 +209,8 @@ def fit_series(x: np.ndarray, theta0: np.ndarray, spec: AcdSpec) -> dict:
         "fn_evals": out.fn_evals,
         "grad_norm": out.grad_norm,
         "converged": out.converged,
-        "message": out.message,
+        "term_status": out.term_status,
+        "message": out.term_status,  # backwards-compatible alias
     }
 
 
@@ -267,8 +275,10 @@ def acd_fit(
             T.StructField("psi_lags", T.ArrayType(T.DoubleType())),
             T.StructField("loglik", T.DoubleType()),
             T.StructField("iterations", T.IntegerType()),
+            T.StructField("fn_evals", T.IntegerType()),
             T.StructField("grad_norm", T.DoubleType()),
             T.StructField("converged", T.BooleanType()),
+            T.StructField("term_status", T.StringType()),
             T.StructField("error", T.StringType()),
         ]
     )
@@ -282,15 +292,70 @@ def acd_fit(
             row.update(
                 omega=[r["omega"]], alpha=[r["alpha"].tolist()], beta=[r["beta"].tolist()],
                 slack=[r["slack"]], psi_lags=[r["psi_lags"].tolist()], loglik=[r["loglik"]],
-                iterations=[r["iterations"]], grad_norm=[r["grad_norm"]],
-                converged=[r["converged"]], error=[None],
+                iterations=[r["iterations"]], fn_evals=[r["fn_evals"]],
+                grad_norm=[r["grad_norm"]],
+                converged=[r["converged"]], term_status=[r["term_status"]], error=[None],
             )
         except Exception as e:  # noqa: BLE001 — per-key error rows by design
             row.update(
                 omega=[None], alpha=[None], beta=[None], slack=[None], psi_lags=[None],
-                loglik=[None], iterations=[None], grad_norm=[None], converged=[False],
+                loglik=[None], iterations=[None], fn_evals=[None], grad_norm=[None],
+                converged=[False], term_status=[None],
                 error=[f"{type(e).__name__}: {e}"],
             )
+        return pd.DataFrame(row)
+
+    return df.select(*keys, order_col, value_col).groupBy(*keys).applyInPandas(kfn, out_schema)
+
+
+def loglik_at_params(
+    x: np.ndarray, omega: float, alpha, beta, spec: AcdSpec
+) -> float:
+    """ℓ at FIXED (ω, α, β) — the deterministic kernel stage of the fit
+    (ψ recursion psi.rs:576-604 + ordered logpdf sum psi.rs:202-220)
+    separated from the optimizer, exactly how the reference's tests pin
+    the likelihood independently of argmin internals (SURVEY §7.2.3)."""
+    x = np.asarray(x, dtype=np.float64)
+    alpha = np.asarray(alpha, dtype=np.float64)
+    beta = np.asarray(beta, dtype=np.float64)
+    if spec.init == "uncond_mean":
+        mu = omega / (1.0 - float(alpha.sum()) - float(beta.sum()))
+        pi, di = np.full(spec.p, mu), np.full(spec.q, mu)
+    else:
+        pi, di = seed_init(
+            spec.init, omega, alpha, beta, float(x.mean()), spec.p, spec.q,
+            fixed_value=spec.init_value,
+        )
+    psi = psi_recursion_np(x, omega, alpha, beta, pi, di, spec.psi_guards)
+    t0 = spec.t0 or 0
+    lp = S.logpdf_vec(x[t0:], psi[t0:], spec.law, spec.law_full_params())
+    total = 0.0
+    for v in lp:  # try_fold order
+        total += float(v)
+    return total
+
+
+def acd_loglik_fixed(
+    df: DataFrame,
+    keys: list[str],
+    spec: AcdSpec,
+    omega: float,
+    alpha: list[float],
+    beta: list[float],
+    value_col: str = "v",
+    order_col: str = "t",
+) -> DataFrame:
+    """Per-key ℓ at fixed parameters → one row per key. SQL-expressible
+    (RECURSIVE CTE over the ψ recursion) — the oracle-able companion of
+    ``acd_fit``."""
+    key_fields = [df.schema[k] for k in keys]
+    out_schema = T.StructType([*key_fields, T.StructField("loglik", T.DoubleType())])
+
+    def kfn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col, kind="mergesort")
+        x = pdf[value_col].to_numpy(dtype=np.float64)
+        row = {k: [pdf[k].iloc[0]] for k in keys}
+        row["loglik"] = [loglik_at_params(x, omega, alpha, beta, spec)]
         return pd.DataFrame(row)
 
     return df.select(*keys, order_col, value_col).groupBy(*keys).applyInPandas(kfn, out_schema)

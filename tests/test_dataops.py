@@ -83,11 +83,55 @@ def test_ngram_jaccard_exact_values(spark):
         [("a", "x y z"), ("b", "x y w"), ("c", "p q r")],
         "doc_id string, text string",
     )
-    pairs = {(r["id_a"], r["id_b"]): r for r in dedup.ngram_jaccard_pairs(df).collect()}
+    pairs = {(r["id_a"], r["id_b"]): r
+             for r in dedup.ngram_jaccard_pairs(df, shingle_k=1).collect()}
     assert pairs[("a", "b")]["inter"] == 2
     assert pairs[("a", "b")]["union_sz"] == 4
     assert pairs[("a", "b")]["jaccard"] == 0.5
     assert ("a", "c") not in pairs  # no shared tokens → no candidate row
+
+
+def test_ngram_jaccard_max_df_bounds_hot_token_blowup(spark):
+    # planted hot token: "the" in every doc. Without a cap the inverted
+    # index produces ~n²/2 join rows through that one key; with the cap
+    # the hot token leaves the index AND the set sizes (exact Jaccard
+    # over the capped universe).
+    n = 40
+    rows = [(f"d{i:02d}", f"the unique{i} token{i} word{i}") for i in range(n)]
+    rows[1] = ("d01", "the unique0 token0 word1")  # near-dup of d00 modulo cap
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    capped = dedup.ngram_jaccard_pairs(df, shingle_k=1, max_df=5)
+    got = {(r["id_a"], r["id_b"]): r for r in capped.collect()}
+    # "the" (df=40 > 5) is dropped everywhere: d00={unique0,token0,word0},
+    # d01={unique0,token0,word1} → inter 2, union 4
+    assert got[("d00", "d01")]["inter"] == 2
+    assert got[("d00", "d01")]["union_sz"] == 4
+    # every other pair shares ONLY the capped token → no candidate row at all
+    assert len(got) == 1
+    # uncapped: every pair shares "the" → n(n-1)/2 candidate rows
+    uncapped = dedup.ngram_jaccard_pairs(df, shingle_k=1)
+    assert uncapped.count() == n * (n - 1) // 2
+
+
+def test_lsh_verified_pairs_exact_jaccard_on_candidates(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    near = base.replace("lazy", "sleepy")
+    far = "completely unrelated content about spark dataframes and shuffles " * 5
+    df = spark.createDataFrame(
+        [("a", base), ("b", near), ("c", far), ("d", base)],
+        "doc_id string, text string",
+    )
+    out = {(r["id_a"], r["id_b"]): r
+           for r in dedup.lsh_verified_pairs(df, threshold=0.3).collect()}
+    assert out[("a", "d")]["jaccard"] == 1.0            # identical docs
+    assert ("a", "b") in out and out[("a", "b")]["jaccard"] < 1.0
+    assert all("c" not in p for p in out)               # unrelated not caught
+    # verification is EXACT set Jaccard: recompute one pair in Python
+    # (split on literal " " — the engine's words_col convention)
+    sh = lambda t: {" ".join(t.split(" ")[i:i + 3]) for i in range(len(t.split(" ")) - 2)}  # noqa: E731
+    sa, sb = sh(base), sh(near)
+    expect = len(sa & sb) / len(sa | sb)
+    assert abs(out[("a", "b")]["jaccard"] - expect) < 1e-12
 
 
 def test_simhash_properties(spark):
@@ -101,10 +145,84 @@ def test_simhash_properties(spark):
         [("a", "the quick brown fox " * 10), ("b", "the quick brown fox " * 10), ("c", "qqq zzz www " * 10)],
         "doc_id string, text string",
     )
-    pairs = dedup.simhash_near_pairs(df, max_hamming=4).collect()
+    pairs = dedup.simhash_near_pairs(df, max_hamming=3).collect()
     keys = {(r["id_a"], r["id_b"]) for r in pairs}
     assert ("a", "b") in keys
     assert ("a", "c") not in keys
+
+
+def test_simhash_column_matches_python_recompute(spark, sf_dir):
+    # the JVM xxhash64 → numpy bit-vote path must equal the pure-Python
+    # recompute (functions/xxh64.py) token for token
+    d = _docs(spark, sf_dir).limit(25)
+    got = {r["doc_id"]: r["simhash"] for r in dedup.with_simhash(d).collect()}
+    texts = {r["doc_id"]: r["text"] for r in d.collect()}
+    for doc_id, text in texts.items():
+        exp = dedup.simhash_np(text.split(" ") if text else [])
+        exp_signed = exp - (1 << 64) if exp >= (1 << 63) else exp
+        assert got[doc_id] == exp_signed, doc_id
+
+
+def test_simhash_recall_guarantee_enforced(spark):
+    import pytest
+
+    df = spark.createDataFrame([("a", "x")], "doc_id string, text string")
+    with pytest.raises(ValueError, match="pigeonhole"):
+        dedup.simhash_near_pairs(df, max_hamming=8)          # > 4 chunks − 1
+    with pytest.raises(ValueError, match="pigeonhole"):
+        dedup.simhash_near_pairs(df, max_hamming=8, n_chunks=8)
+    with pytest.raises(ValueError, match="divide"):
+        dedup.simhash_near_pairs(df, max_hamming=2, n_chunks=5)
+
+
+def test_simhash_planted_pairs_d5_to_d7_recovered(spark):
+    # plant simhash values at exact Hamming distances 5, 6, 7 by feeding
+    # precomputed simhash columns (simhash_near_pairs accepts an existing
+    # 'simhash' column); with n_chunks=8 the pigeonhole guarantee covers
+    # d ≤ 7, so ALL planted pairs must be recovered.
+    base = 0x0123456789ABCDEF
+    rows = [("base", base)]
+    import itertools
+
+    flips = {
+        "d5": [0, 17, 34, 51, 60],
+        "d6": [1, 18, 35, 52, 5, 22],
+        "d7": [2, 19, 36, 53, 6, 23, 40],
+    }
+    for name, bits in flips.items():
+        v = base
+        for b in bits:
+            v ^= 1 << b
+        rows.append((name, v))
+    far = base ^ sum(1 << b for b in range(0, 40, 2))  # d=20
+    rows.append(("far", far))
+    df = spark.createDataFrame(
+        [(n, int(np.int64(np.uint64(v)))) for n, v in rows], "doc_id string, simhash long"
+    )
+    out = dedup.simhash_near_pairs(df, max_hamming=7, n_chunks=8)
+    got = {tuple(sorted((r["id_a"], r["id_b"]))): r["hamming"] for r in out.collect()}
+    assert got[("base", "d5")] == 5
+    assert got[("base", "d6")] == 6
+    assert got[("base", "d7")] == 7
+    assert not any("far" in p for p in got)
+    # sanity: the planted flips spread across all 4 16-bit chunks, so the
+    # round-1 4-chunk scheme would have MISSED these pairs entirely
+    for name, bits in flips.items():
+        assert len({b // 16 for b in bits}) == 4
+
+
+def test_spark_xxhash64_python_reimpl_parity(spark):
+    from rust_timeseries_spark.functions.xxh64 import spark_xxhash64
+
+    df = spark.createDataFrame(
+        [("",), ("a",), ("hello world",), ("ünïcødé tøkens",), ("x" * 100,)], "s string"
+    )
+    rows = df.select(
+        "s", F.xxhash64("s").alias("h"), F.xxhash64("s", F.lit(46)).alias("h46")
+    ).collect()
+    for r in rows:
+        assert r["h"] == spark_xxhash64(r["s"])
+        assert r["h46"] == spark_xxhash64(r["s"], 46)
 
 
 def test_embedding_near_dup_and_topk(spark, sf_dir):
@@ -156,20 +274,85 @@ def test_lsh_mechanics_on_random_vectors(spark, sf_dir):
         assert -1.0001 <= r["cosine"] <= 1.0001
 
 
-def test_multimodal_plumbing(spark):
+def test_embedding_near_dup_ungrouped_has_no_cartesian_plan(spark):
+    # ungrouped near-dup must route through sign-LSH buckets: the plan
+    # may not contain a CartesianProduct / BroadcastNestedLoopJoin, and
+    # on planted near-identical vectors it must match the exact
+    # (opt-in) full-pairs result.
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((12, 16))
+    rows = []
+    vid = 0
+    for c in centers:
+        for _ in range(3):  # 3 near-copies per center → near-dup pairs inside clusters
+            v = c + 0.01 * rng.standard_normal(16)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    guarded = dedup.embedding_near_dup_pairs(df, threshold=0.98, dim=16)
+    plan = guarded._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    exact = dedup.embedding_near_dup_pairs(df, threshold=0.98, allow_full_pairs=True)
+    got = {(r["id_a"], r["id_b"]) for r in guarded.collect()}
+    want = {(r["id_a"], r["id_b"]) for r in exact.collect()}
+    assert want, "fixture must plant at least one near-dup pair"
+    assert got == want
+
+
+def test_image_codec_roundtrip():
+    # decode∘encode = identity for both containers, odd widths included
+    # (BMP row padding) — pure numpy, no Spark
+    rng = np.random.default_rng(3)
+    for h, w in [(1, 1), (5, 7), (33, 31), (64, 50)]:
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert np.array_equal(multimodal.decode_image(multimodal.encode_bmp(img)), img), (h, w)
+        assert np.array_equal(multimodal.decode_image(multimodal.encode_ppm(img)), img), (h, w)
+    import pytest
+    with pytest.raises(ValueError, match="unknown image container"):
+        multimodal.decode_image(b"GIF89a....")
+
+
+def test_audio_codec_roundtrip():
+    rng = np.random.default_rng(4)
+    mono = rng.integers(-(2 ** 15), 2 ** 15, size=1000).astype(np.int16)
+    wave, rate = multimodal.decode_audio(multimodal.encode_wav(mono, 8000))
+    assert rate == 8000 and wave.shape == (1000, 1)
+    assert np.array_equal(wave[:, 0], mono)
+    stereo = rng.integers(-(2 ** 15), 2 ** 15, size=(500, 2)).astype(np.int16)
+    wave2, _ = multimodal.decode_audio(multimodal.encode_wav(stereo, 44100))
+    assert np.array_equal(wave2, stereo)
+
+
+def test_multimodal_image_features_real_decode(spark):
     media = multimodal.synthetic_media_table(spark, 20)
     assert media.schema["payload"].dataType.typeName() == "binary"
-    feats = multimodal.image_features(media, fake=True, resize_to=4).collect()
+    feats = {r["media_id"]: r for r in multimodal.image_features(media, resize_to=4).collect()}
     assert len(feats) == 20
-    for r in feats:
-        assert len(r["feat"]) == 3
-        assert all(0 <= v <= 255 for v in r["feat"])
-    # decode without a codec is an explicit stub
-    import pytest
-    with pytest.raises(Exception, match="NotImplementedError|image decode"):
-        multimodal.image_features(media, fake=False).collect()
+    for mid in range(20):
+        w, h = multimodal.media_dims(mid)
+        img = multimodal.media_pixel_formula(mid, h, w)
+        small = img[np.ix_(multimodal.resize_grid(h, 4), multimodal.resize_grid(w, 4))]
+        expect = small.astype(np.float64).mean(axis=(0, 1))
+        r = feats[f"media-{mid:08d}"]
+        assert (r["width"], r["height"]) == (w, h)
+        assert np.allclose(r["feat"], expect, rtol=0, atol=0), mid  # exact
     plan = multimodal.frame_sample_plan(media, every_n=100)
-    assert plan.count() == 20 * 3  # 300-frame stub clips sampled every 100
+    assert plan.count() == 20 * 3  # default 300-frame clips sampled every 100
+
+
+def test_multimodal_audio_features_real_decode(spark):
+    audio = multimodal.synthetic_audio_table(spark, 9, sample_rate=8000)
+    feats = {r["media_id"]: r for r in multimodal.audio_features(audio).collect()}
+    assert len(feats) == 9
+    for mid in range(9):
+        n = 8000 * (1 + mid % 3)
+        wave = multimodal.audio_wave_formula(mid, n).astype(np.int64)
+        r = feats[f"audio-{mid:08d}"]
+        assert r["n_samples"] == n
+        assert r["duration_s"] == n / 8000
+        assert r["rms"] == float(np.sqrt(int((wave * wave).sum()) / n))
+        assert r["zero_crossings"] == int(((wave[:-1] >= 0) != (wave[1:] >= 0)).sum())
 
 
 def test_minhash_signature_deterministic(spark, sf_dir):

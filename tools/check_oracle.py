@@ -53,9 +53,19 @@ def main() -> int:
             con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    frozen = getattr(entrymod, "FROZEN_ORACLE_QUERIES", frozenset())
+    try:
+        import oracle_frozen
+
+        frozen_dir = oracle_frozen.SF_DIR.rstrip("/")
+    except ImportError:
+        frozen_dir = None
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
+            continue
+        if name in frozen and sf_dir.rstrip("/") != frozen_dir:
+            print(f"[skip] {name}: frozen oracle valid only at {frozen_dir}")
             continue
         try:
             got = normalize(fn(spark, sf_dir).toPandas())

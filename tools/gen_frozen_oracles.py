@@ -1,0 +1,197 @@
+"""Generate frozen VALUES oracles for the engine-hash-native dedup
+queries (``dedup_minhash_lsh``, ``dedup_simhash``).
+
+DuckDB cannot recompute Spark's xxhash64, so these two queries cannot
+have a live SQL oracle.  Instead this tool:
+
+1. INDEPENDENTLY recomputes both pipelines in pure Python over the
+   parquet input — token/shingle hashing via the pure-Python XXH64
+   reimplementation (rust_timeseries_spark/functions/xxh64.py, itself
+   pinned against Spark's ``F.xxhash64`` by pytest), MinHash banding /
+   SimHash bit-votes / Hamming distances in numpy.  No Spark, no engine
+   code in the value path — this is a second implementation, not a dump
+   of the first one's output.
+2. Runs the engine's actual driver queries on Spark and asserts the two
+   result sets are IDENTICAL (any mismatch aborts generation).
+3. Freezes the verified rows as DuckDB ``VALUES`` literals into
+   ``oracle_frozen.py`` at the repo root, which ``__spark_entry__.py``
+   serves from ``oracle_sql()``.
+
+The testdata is deterministic (seed 42, TESTDATA.md), so the freeze is
+stable across driver runs at the same scale factor.  The frozen SQL is
+valid ONLY at the scale factor it was generated for (default sf0.01 —
+the driver's correctness-gate scale); ``tools/check_oracle.py`` skips
+frozen oracles at other scale factors.
+
+Usage: python tools/gen_frozen_oracles.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from rust_timeseries_spark.functions.xxh64 import spark_xxhash64  # noqa: E402
+
+# driver-query parameters (must match __spark_entry__._q_minhash_dedup /
+# _q_simhash exactly)
+MINHASH = dict(shingle_k=3, num_perm=32, bands=8, rows_per_band=4, threshold=0.5, seed=42)
+SIMHASH = dict(max_hamming=7, n_chunks=8)
+
+
+def shingles(text: str, k: int) -> list[str]:
+    """= operators/dedup.shingles (split on literal space, 1-based
+    slide, short-text fallback to the single joined shingle)."""
+    ws = text.split(" ")
+    if len(ws) >= k:
+        return [" ".join(ws[i : i + k]) for i in range(len(ws) - k + 1)]
+    return [" ".join(ws)]
+
+
+def minhash_pairs_py(docs: list[tuple[int, str]]) -> dict[tuple[int, int], float]:
+    """Independent MinHash-LSH: signatures → band buckets → candidate
+    pairs → signature-agreement Jaccard ≥ threshold."""
+    num_perm, k, seed = MINHASH["num_perm"], MINHASH["shingle_k"], MINHASH["seed"]
+    bands, rpb, thr = MINHASH["bands"], MINHASH["rows_per_band"], MINHASH["threshold"]
+    sigs: dict[int, list[int]] = {}
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for doc_id, text in docs:
+        sh = shingles(text, k)
+        sig = []
+        for i in range(num_perm):
+            # F.xxhash64(shingle, F.lit(seed+i)) — int literal child
+            sig.append(min(spark_xxhash64(s, (seed + i, "int")) for s in sh))
+        sigs[doc_id] = sig
+        for b in range(bands):
+            band_str = ",".join(str(sig[b * rpb + r]) for r in range(rpb))
+            bh = spark_xxhash64(band_str, (b, "int"))
+            buckets.setdefault((b, bh), []).append(doc_id)
+    cands: set[tuple[int, int]] = set()
+    for ids in buckets.values():
+        ids = sorted(ids)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                cands.add((ids[i], ids[j]))
+    out = {}
+    for a, b in cands:
+        agree = sum(1 for x, y in zip(sigs[a], sigs[b]) if x == y)
+        est = agree / num_perm
+        if est >= thr:
+            out[(a, b)] = est
+    return out
+
+
+def simhash_pairs_py(docs: list[tuple[int, str]]) -> dict[tuple[int, int], int]:
+    """Independent SimHash: per-doc bit-vote over xxhash64 token hashes,
+    then EXACT all-pairs Hamming ≤ max_hamming (the engine's 8-chunk
+    bucketing guarantees recall at this radius, so exact all-pairs is
+    the correct reference — it checks recall, not just precision)."""
+    ids, hashes = [], []
+    for doc_id, text in docs:
+        toks = text.split(" ") if text else []
+        if not toks:
+            sim = 0
+        else:
+            hs = np.array(
+                [spark_xxhash64(w) for w in toks], dtype=np.int64
+            ).view(np.uint64)
+            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
+            votes = (2 * bits - 1).sum(axis=0)
+            weights = np.left_shift(np.uint64(1), np.arange(64, dtype=np.uint64))
+            sim = int(np.bitwise_or.reduce(np.where(votes > 0, weights, np.uint64(0))))
+        ids.append(doc_id)
+        hashes.append(sim)
+    hs = np.array(hashes, dtype=np.uint64)
+    ids_a = np.array(ids, dtype=np.int64)
+    out = {}
+    # vectorized all-pairs hamming via XOR + unpackbits popcount
+    xor = hs[:, None] ^ hs[None, :]
+    pop = np.unpackbits(xor.view(np.uint8).reshape(len(hs), len(hs), 8), axis=2).sum(axis=2)
+    ii, jj = np.where((pop <= SIMHASH["max_hamming"]) & (ids_a[:, None] < ids_a[None, :]))
+    for i, j in zip(ii, jj):
+        a, b = int(ids_a[i]), int(ids_a[j])
+        out[(a, b)] = int(pop[i, j])
+    return out
+
+
+def to_values_sql(rows: list[tuple], cols: list[str], types: list[str]) -> str:
+    if not rows:
+        sel = ", ".join(f"CAST(NULL AS {t}) AS {c}" for c, t in zip(cols, types))
+        return f"SELECT {sel} WHERE FALSE"
+    body = ",\n  ".join("(" + ", ".join(repr(v) for v in row) + ")" for row in rows)
+    casts = ", ".join(f"CAST({c} AS {t}) AS {c}" for c, t in zip(cols, types))
+    return f"SELECT {casts} FROM (VALUES\n  {body}\n) AS t({', '.join(cols)})"
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet') ORDER BY doc_id"
+    ).fetchall()
+    print(f"{len(docs)} documents from {sf_dir}")
+
+    mh = minhash_pairs_py(docs)
+    sh = simhash_pairs_py(docs)
+    print(f"independent recompute: minhash {len(mh)} pairs, simhash {len(sh)} pairs")
+
+    # verify against the engine before freezing
+    import __spark_entry__ as entrymod
+    from rust_timeseries_spark.session import build_spark
+
+    spark = build_spark(app_name="gen-frozen-oracles", shuffle_partitions=8)
+    qs = entrymod.queries()
+    got_mh = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in qs["dedup_minhash_lsh"](spark, sf_dir).collect()
+    }
+    got_sh = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in qs["dedup_simhash"](spark, sf_dir).collect()
+    }
+    spark.stop()
+    if got_mh != mh:
+        extra, missing = set(got_mh) - set(mh), set(mh) - set(got_mh)
+        print(f"MINHASH MISMATCH: engine-only {sorted(extra)[:5]}, recompute-only {sorted(missing)[:5]}")
+        vals = {k: (got_mh.get(k), mh.get(k)) for k in list(set(got_mh) | set(mh))[:5] if got_mh.get(k) != mh.get(k)}
+        print("value diffs:", vals)
+        return 1
+    if got_sh != sh:
+        extra, missing = set(got_sh) - set(sh), set(sh) - set(got_sh)
+        print(f"SIMHASH MISMATCH: engine-only {sorted(extra)[:5]}, recompute-only {sorted(missing)[:5]}")
+        return 1
+    print("engine output == independent recompute — freezing")
+
+    mh_rows = sorted((a, b, est) for (a, b), est in mh.items())
+    sh_rows = sorted((a, b, h) for (a, b), h in sh.items())
+    mh_sql = to_values_sql(mh_rows, ["id_a", "id_b", "est_jaccard"], ["BIGINT", "BIGINT", "DOUBLE"])
+    sh_sql = to_values_sql(sh_rows, ["id_a", "id_b", "hamming"], ["BIGINT", "BIGINT", "INTEGER"])
+
+    out_path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "oracle_frozen.py")
+    with open(out_path, "w") as f:
+        f.write(
+            '"""FROZEN oracles for engine-hash-native dedup queries.\n\n'
+            "GENERATED by tools/gen_frozen_oracles.py — do not edit by hand.\n"
+            "Each VALUES literal was produced by an independent pure-Python\n"
+            "recompute of the pipeline (see that tool's docstring) and verified\n"
+            "identical to the engine output before freezing.  Valid only at the\n"
+            f"scale factor below (deterministic testdata, seed 42).\n"
+            '"""\n\n'
+            f"SF = {sf!r}\n"
+            f"SF_DIR = {sf_dir!r}\n"
+            f"N_DOCS = {len(docs)}\n\n"
+            f"MINHASH_LSH_SQL = '''\n{mh_sql}\n'''\n\n"
+            f"SIMHASH_SQL = '''\n{sh_sql}\n'''\n"
+        )
+    print(f"wrote {out_path}: minhash {len(mh_rows)} rows, simhash {len(sh_rows)} rows")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

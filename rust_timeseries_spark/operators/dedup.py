@@ -60,16 +60,26 @@ def minhash_signatures(
     seed: int = 42,
 ) -> DataFrame:
     """MinHash signature per document: sig[i] = min over shingles of
-    xxhash64(shingle, seed+i). Pure column expressions — one projection
-    computes all ``num_perm`` permutations."""
+    xxhash64(shingle, seed+i).
+
+    Plan shape: explode the shingle array ONCE, then one hash aggregate
+    computing all ``num_perm`` mins (map-side partial combine → one
+    shuffle on ``id_col``). The earlier all-in-one-projection variant
+    inlined the shingle construction (sequence/slice/concat_ws) into
+    every permutation's expression tree — Catalyst's project collapse
+    re-evaluated it ``num_perm`` times per row, ~30× slower at sf0.1.
+    Values are identical (same xxhash64(shingle, seed+i) definition)."""
     sh = shingles(text_col, shingle_k)
-    sig = F.array(
+    exploded = df.select(id_col, F.explode(sh).alias("_sh"))
+    mins = exploded.groupBy(id_col).agg(
         *[
-            F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(seed + i))))
+            F.min(F.xxhash64("_sh", F.lit(seed + i))).alias(f"_m{i}")
             for i in range(num_perm)
         ]
     )
-    return df.select(id_col, sig.alias("minhash"))
+    return mins.select(
+        id_col, F.array(*[F.col(f"_m{i}") for i in range(num_perm)]).alias("minhash")
+    )
 
 
 def lsh_candidate_pairs(

@@ -101,6 +101,28 @@ def psi_recursion_np(
     beta = np.asarray(beta, dtype=np.float64)
     p, q, n = len(beta), len(alpha), len(x)
     gmin, gmax = guards
+    if p == 1 and q == 1:
+        # hot path for the dominant ACD(1,1) case: identical IEEE op
+        # sequence to the general loop below (1-element dots are plain
+        # products; the empty-slice dot contributes an exact +0.0), but
+        # in native Python floats — ~100× less per-step overhead than
+        # numpy scalar ops, bit-identical output (pinned by
+        # tests/golden/kernels.json)
+        a0, b0, om = float(alpha[0]), float(beta[0]), float(omega)
+        di0 = float(dur_init[0])
+        psi_prev = float(psi_init[0])
+        out = np.empty(n, dtype=np.float64)
+        xl = x.tolist()
+        for t in range(n):
+            sum_alpha = a0 * di0 + 0.0 if t == 0 else 0.0 + a0 * xl[t - 1]
+            new_psi = om + sum_alpha + b0 * psi_prev
+            if new_psi < gmin:
+                new_psi = gmin
+            elif new_psi > gmax:
+                new_psi = gmax
+            out[t] = new_psi
+            psi_prev = new_psi
+        return out
     psi_buf = np.empty(p + n, dtype=np.float64)
     psi_buf[:p] = psi_init
     for t in range(n):

@@ -134,6 +134,8 @@ def rollup_salted(
     keys: list[str] | None = None,
     ts_col: str = "ts",
     value_col: str = "n_tok",
+    salt_col: str = "doc_id",
+    epoch: bool = False,
 ) -> DataFrame:
     """Two-phase salted rollup for pathological key skew (SURVEY.md
     §4.3.6): phase 1 aggregates per (keys, salt, bucket) — spreading one
@@ -148,8 +150,8 @@ def rollup_salted(
     keys = keys if keys is not None else ["source"]
     salted = df.select(
         *keys,
-        bucket_col(ts_col, tier).alias("bucket_ts"),
-        F.pmod(F.xxhash64("doc_id"), F.lit(n_salts)).alias("_salt"),
+        bucket_col(ts_col, tier, epoch, dict(df.dtypes)[ts_col]).alias("bucket_ts"),
+        F.pmod(F.xxhash64(salt_col), F.lit(n_salts)).alias("_salt"),
         F.col(value_col).alias("_v"),
     )
     partial = salted.groupBy(*keys, "_salt", "bucket_ts").agg(

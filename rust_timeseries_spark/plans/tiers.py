@@ -135,7 +135,13 @@ class TierStore:
     def expire(self, tier: str, cutoff_bucket_day: int) -> int:
         """Drop partitions strictly older than the cutoff (epoch s).
         Whole-directory deletes — no row rewrites. Returns #partitions
-        dropped."""
+        dropped.
+
+        Partition directory values are epoch-second ints when the store
+        was built with ``epoch=True`` and URL-encoded timestamp strings
+        (``2024-01-01 00%3A00%3A00``) with ``epoch=False`` — both are
+        parsed; an unparseable value raises instead of silently skipping
+        (retention must never no-op)."""
         path = self.tier_path(tier)
         if not _PARTITION_COLS[tier]:
             raise ValueError(f"tier {tier} has no day partitions to expire")
@@ -145,15 +151,34 @@ class TierStore:
         for name in os.listdir(path):
             if not name.startswith("bucket_day="):
                 continue
-            day_val = name.split("=", 1)[1]
-            try:
-                day_num = int(float(day_val))
-            except ValueError:
-                continue
+            day_num = self._parse_partition_day(name.split("=", 1)[1])
             if day_num < cutoff_bucket_day:
                 shutil.rmtree(os.path.join(path, name))
                 dropped += 1
         return dropped
+
+    @staticmethod
+    def _parse_partition_day(day_val: str) -> int:
+        """Partition value → epoch seconds. Handles the epoch-bigint
+        encoding and the timestamp-string encoding Spark writes for
+        ``epoch=False`` stores (URL-escaped, e.g. ``%3A`` for ``:``)."""
+        from datetime import datetime, timezone
+        from urllib.parse import unquote
+
+        try:
+            return int(float(day_val))
+        except ValueError:
+            pass
+        decoded = unquote(day_val)
+        for fmt in ("%Y-%m-%d %H:%M:%S", "%Y-%m-%d %H:%M:%S.%f", "%Y-%m-%d"):
+            try:
+                return int(datetime.strptime(decoded, fmt).replace(tzinfo=timezone.utc).timestamp())
+            except ValueError:
+                continue
+        raise ValueError(
+            f"cannot parse bucket_day partition value {day_val!r}; "
+            "retention would silently skip this partition"
+        )
 
     def compact(self, tier: str, target_files_per_partition: int = 1) -> None:
         """Rewrite a tier with coalesced files (Iceberg

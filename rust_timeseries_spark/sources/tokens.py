@@ -30,7 +30,15 @@ TOKEN_SCHEMA = T.StructType(
 def read_tokens(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
     """Scan the token table. Only project columns you need downstream —
     rollups never touch ``tokens``, so Catalyst prunes it out of the
-    parquet/Iceberg scan (verify via .explain ReadSchema)."""
+    parquet/Iceberg scan (verify via .explain ReadSchema).
+
+    UNTESTED BRANCH: ``fmt="iceberg"`` cannot be exercised in this
+    sandbox (no Iceberg runtime jar / catalog available); it is the
+    standard one-line DataSourceV2 read and every downstream operator is
+    format-agnostic, but treat it as unverified until run against a real
+    Iceberg catalog. The parquet path (and the TierStore dynamic-
+    partition-overwrite MERGE stand-in, plans/tiers.py) is what the test
+    suite pins."""
     if fmt == "iceberg":
         return spark.read.format("iceberg").load(path)
     return spark.read.parquet(path)

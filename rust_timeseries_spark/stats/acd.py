@@ -112,6 +112,40 @@ def _deriv_and_psi(x: np.ndarray, theta: np.ndarray, spec: AcdSpec):
     if spec.init == "uncond_mean":
         deriv[:p, 0] = 1.0 / denom
         deriv[:p, 1:] = omega / (denom * denom)
+    if p == 1 and q == 1:
+        # ACD(1,1) hot path: same IEEE op sequence as the general loop
+        # (slice assignments become scalar stores, `row[1:] += pdd` adds
+        # an exact +0.0 for t ≥ 1, the β feedback is the same
+        # multiply-add per element) but in native Python floats — the
+        # general per-step numpy-scalar loop costs ~100 µs/step, which
+        # made a 20k-point fit take minutes. Bit-identical (golden
+        # kernels + FD tests unchanged).
+        uncond = spec.init == "uncond_mean"
+        a0, b0, om = float(alpha[0]), float(beta[0]), float(omega)
+        d_prev0, d_prev1, d_prev2 = (float(v) for v in deriv[0])
+        xl = x.tolist()
+        pb = psi_buf.tolist()
+        di0 = float(di[0])
+        for t in range(n):
+            if t == 0:
+                alpha_sum = a0 if uncond else 0.0
+                pdd = (alpha_sum * om) / (denom * denom)
+                r0 = 1.0 + alpha_sum / denom
+                r1 = di0 + pdd
+                r2 = pb[t] + pdd
+            else:
+                r0 = 1.0
+                r1 = xl[t - 1] + 0.0
+                r2 = pb[t] + 0.0
+            r0 = r0 + b0 * d_prev0
+            r1 = r1 + b0 * d_prev1
+            r2 = r2 + b0 * d_prev2
+            row = deriv[1 + t]
+            row[0] = r0
+            row[1] = r1
+            row[2] = r2
+            d_prev0, d_prev1, d_prev2 = r0, r1, r2
+        return psi_buf, deriv, omega, alpha, beta, slack
     for t in range(n):
         k_init = max(0, q - t)
         k_data = q - k_init

@@ -65,6 +65,20 @@ def test_salted_rollup_identical(spark):
     assert plain == salted
 
 
+def test_salted_rollup_epoch_bigint_and_salt_col(spark):
+    # the skew-mitigation variant must accept the epoch-bigint timestamp
+    # encoding the rest of the engine defaults to, and a caller-chosen
+    # salt column
+    df = datagen.with_event_time(datagen.token_table(spark, 1000))
+    es = rollup.epoch_seconds(F.col("ts"), dict(df.dtypes)["ts"])
+    edf = df.withColumn("ts", es)  # bigint timestamps
+    plain = rollup.rollup_raw(edf, "1h", epoch=True).orderBy("source", "bucket_ts").collect()
+    salted = rollup.rollup_salted(
+        edf, "1h", n_salts=8, epoch=True, salt_col="ts"
+    ).orderBy("source", "bucket_ts").collect()
+    assert plain == salted
+
+
 def test_top_k_sources(spark):
     df = datagen.with_event_time(datagen.token_table(spark, 2000))
     t1d = rollup.rollup_raw(df, "1d")

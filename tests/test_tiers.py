@@ -66,6 +66,61 @@ def test_retention_expiry(spark, raw, tmp_path):
     assert remaining >= cutoff
 
 
+def test_retention_expiry_timestamp_partitions(spark, raw, tmp_path):
+    # epoch=False stores write bucket_day as URL-encoded timestamp
+    # strings; expire must parse those (round-1 defect: int(float(...))
+    # failed and retention silently dropped nothing)
+    store = TierStore(spark, str(tmp_path / "tiers_ts"), epoch=False)
+    store.materialize_full(raw)
+    days = sorted({r[0] for r in store.read_tier("1m").select(
+        F.date_trunc("day", F.col("bucket_ts")).alias("d")).distinct().collect()})
+    assert len(days) > 2
+    cutoff = int(days[2].replace(tzinfo=__import__("datetime").timezone.utc).timestamp())
+    dropped = store.expire("1m", cutoff)
+    assert dropped == 2
+    remaining = store.read_tier("1m").agg(F.min("bucket_ts")).collect()[0][0]
+    assert int(remaining.replace(tzinfo=__import__("datetime").timezone.utc).timestamp()) >= cutoff
+
+
+def test_retention_raises_on_unparseable_partition(spark, raw, tmp_path):
+    import os
+
+    store = TierStore(spark, str(tmp_path / "tiers_bad"))
+    store.materialize_full(raw)
+    os.makedirs(os.path.join(store.tier_path("1m"), "bucket_day=garbage"))
+    with pytest.raises(ValueError, match="cannot parse bucket_day"):
+        store.expire("1m", 10 ** 12)
+
+
+def test_merge_overlapping_out_of_order_batches(spark, raw, tmp_path):
+    # the Iceberg MERGE INTO story as far as the sandbox allows: three
+    # OVERLAPPING batches arrive out of event-time order, one is
+    # replayed twice (retry), against two independent materializations —
+    # both stores converge to the full cascade and tier_diff is empty
+    from rust_timeseries_spark.operators.rollup import epoch_seconds, tier_diff
+
+    es = epoch_seconds(F.col("ts"), dict(raw.dtypes)["ts"])
+    day = (es - F.pmod(es, F.lit(86400))).alias("d")
+    days = sorted(r["d"] for r in raw.select(day).distinct().collect())
+    mid = days[len(days) // 2]
+    late = raw.where(es - F.pmod(es, F.lit(86400)) >= mid)          # newest days first
+    early = raw.where(es - F.pmod(es, F.lit(86400)) < mid)
+    overlap = raw.where(F.pmod(F.xxhash64("doc_id"), F.lit(3)) == 0)  # spans both ranges
+
+    a = TierStore(spark, str(tmp_path / "store_a"))
+    a.materialize_full(late)              # out-of-order: late data lands first
+    a.merge_increment(raw, early)
+    a.merge_increment(raw, overlap)       # overlapping upsert
+    a.merge_increment(raw, overlap)       # replayed retry
+
+    b = TierStore(spark, str(tmp_path / "store_b"))
+    b.materialize_full(raw)               # single-shot reference materialization
+
+    for tier in ("1m", "1h", "1d"):
+        assert _tier_dict(a.read_tier(tier)) == _tier_dict(a.cascade(raw)[tier])
+        assert tier_diff(a.read_tier(tier), b.read_tier(tier)).count() == 0
+
+
 def test_pipeline_lineage_metrics_and_ewma_resume(spark, raw, tmp_path):
     base = str(tmp_path / "p")
     pipe = RollupPipeline(spark, base)

@@ -194,7 +194,9 @@ def simulate_acd(
     default, options.rs:450-454; cold start from explicit ψ-lags).
     Returns {x, psi, eps} for the post-burn-in sample."""
     from .operators.recursion import psi_recursion_np  # noqa: F401 (semantics ref)
+    from .validation import validate_horizon
 
+    validate_horizon(n)  # ZeroSimulationHorizon (errors.rs:282)
     alpha_a = np.asarray(alpha, dtype=np.float64)
     beta_a = np.asarray(beta, dtype=np.float64)
     q, p = len(alpha_a), len(beta_a)

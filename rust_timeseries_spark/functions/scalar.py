@@ -118,13 +118,25 @@ def params_to_theta(omega: float, alpha: np.ndarray, beta: np.ndarray, slack: fl
 # ---------------------------------------------------------------------------
 
 def weibull_lambda(k: float) -> float:
-    """Unit-mean λ = exp(−lnΓ(1+1/k)) (innovations.rs:243-247)."""
-    return math.exp(-math.lgamma(1.0 + 1.0 / k))
+    """Unit-mean λ = exp(−lnΓ(1+1/k)) (innovations.rs:243-247);
+    raises InvalidUnitMeanWeibull when the normalizer degenerates
+    (errors.rs:193-195)."""
+    from ..validation import validate_unit_mean
+
+    lam = math.exp(-math.lgamma(1.0 + 1.0 / k))
+    validate_unit_mean(lam, "weibull")
+    return lam
 
 
 def gengamma_a(p: float, d: float) -> float:
-    """Unit-mean a = exp(lnΓ(d/p) − lnΓ((d+1)/p)) (innovations.rs:360-365)."""
-    return math.exp(math.lgamma(d / p) - math.lgamma((d + 1.0) / p))
+    """Unit-mean a = exp(lnΓ(d/p) − lnΓ((d+1)/p)) (innovations.rs:360-365);
+    raises InvalidUnitMeanGenGamma on a degenerate normalizer
+    (errors.rs:200-202)."""
+    from ..validation import validate_unit_mean
+
+    a = math.exp(math.lgamma(d / p) - math.lgamma((d + 1.0) / p))
+    validate_unit_mean(a, "generalized_gamma")
+    return a
 
 
 def log_pdf_duration(x: float, psi: float, law: str, params: dict) -> float:

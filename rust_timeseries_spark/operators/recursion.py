@@ -156,11 +156,15 @@ def forecast_np(
     ``psi_lags``/``duration_lags`` ordered oldest→newest (the last p ψ
     values / last q observed durations). Returns ψ̂_{T+1..T+H}.
     """
+    from ..validation import validate_horizon, validate_psi_init_length
+
     alpha = np.asarray(alpha, dtype=np.float64)
     beta = np.asarray(beta, dtype=np.float64)
     psi_lags = np.asarray(psi_lags, dtype=np.float64)
     duration_lags = np.asarray(duration_lags, dtype=np.float64)
     q, p = len(alpha), len(beta)
+    validate_horizon(horizon)  # ZeroSimulationHorizon (errors.rs:282)
+    validate_psi_init_length(len(psi_lags), p)  # InsufficientPsiLength
     gmin, gmax = guards
     fc = np.empty(horizon, dtype=np.float64)
     for i in range(horizon):

@@ -55,6 +55,22 @@ class AcdSpec:
     line_searcher: str = "more_thuente"
     #: per-iteration optimizer progress lines (traits.rs verbose flag)
     verbose: bool = False
+    #: duration unit metadata — "seconds"|"s"|"milliseconds"|"ms"|
+    #: "microseconds"|"us", any case (ACDMeta, utils.rs:224-252);
+    #: carried through fit output, never used in math
+    unit: str = "seconds"
+    #: whether durations were diurnally adjusted upstream (ACDMeta flag)
+    diurnal_adjusted: bool = False
+
+    def validated(self) -> "AcdSpec":
+        """Option-surface validation (ACDMeta/ACDOptions constructors):
+        raises the reference's error-variant names on bad options."""
+        V.validate_model_shape(self.p, self.q)
+        V.validate_psi_guards(self.psi_guards)
+        if self.init == "fixed" and self.init_value is not None:
+            V.validate_init_fixed(self.init_value)
+        V.parse_unit(self.unit)
+        return self
 
     def law_full_params(self) -> dict:
         if self.law == "exponential":
@@ -210,6 +226,7 @@ def fit_series(x: np.ndarray, theta0: np.ndarray, spec: AcdSpec) -> dict:
     convergence recompute ψ at θ̂ and keep the last p ψ-lags
     (acd.rs:315-326)."""
     x = np.asarray(x, dtype=np.float64)
+    spec.validated()  # option surface (ACDMeta/ACDOptions)
     V.validate_series(x, spec.t0)  # data.rs:167-188
     V.validate_theta(np.asarray(theta0, dtype=np.float64), spec.p, spec.q)  # validation.rs:726
 
@@ -277,6 +294,7 @@ def covariance_series(
     # (hessian.rs:410-455). We negate so the classical path returns the
     # meaningful J⁺.
     obs_info = -S.fd_hessian(gfn, theta_hat)
+    V.validate_hessian(obs_info, len(theta_hat))  # errors.rs:271-281
     theta_cov = S.sandwich_covariance(obs_info, hac_cov)
     _, alpha, beta, _ = S.theta_to_params(theta_hat, spec.p, spec.q)
     return S.delta_method(theta_cov, theta_hat, alpha, beta)
@@ -313,14 +331,18 @@ def acd_fit(
             T.StructField("grad_norm", T.DoubleType()),
             T.StructField("converged", T.BooleanType()),
             T.StructField("term_status", T.StringType()),
+            T.StructField("unit", T.StringType()),
+            T.StructField("diurnal_adjusted", T.BooleanType()),
             T.StructField("error", T.StringType()),
         ]
     )
+    unit = V.parse_unit(spec.unit)
 
     def kfn(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order_col, kind="mergesort")
         x = pdf[value_col].to_numpy(dtype=np.float64)
         row = {k: [pdf[k].iloc[0]] for k in keys}
+        row.update(unit=[unit], diurnal_adjusted=[spec.diurnal_adjusted])
         try:
             r = fit_series(x, theta0_a, spec)
             row.update(

@@ -40,6 +40,64 @@ def test_stream_rollup_matches_batch(spark, tmp_path):
     assert merged == expected
 
 
+def test_stream_late_data_across_restart_converges(spark, tmp_path):
+    # the §2.9 late-data story end-to-end: a first query run processes
+    # the on-time batch and stops (availableNow); new files arrive —
+    # including a LATE row for an already-emitted bucket, within the
+    # watermark — and a SECOND query run resumes from the checkpoint.
+    # The foreachBatch MERGE must converge to exactly the batch rollup
+    # over all rows (the late row re-dirties its bucket).
+    rows1 = [
+        ("a", "2024-01-01 10:00:30", 5),
+        ("a", "2024-01-01 10:00:50", 7),
+        ("a", "2024-01-01 10:02:10", 1),
+        ("b", "2024-01-01 10:01:00", 4),
+    ]
+    rows2 = [
+        ("a", "2024-01-01 10:10:00", 9),   # new bucket, advances watermark
+        ("a", "2024-01-01 10:00:40", 2),   # LATE: lands in the 10:00 bucket
+        ("b", "2024-01-01 10:01:59", 6),   # LATE: lands in b's 10:01 bucket
+    ]
+
+    def to_df(rows):
+        return spark.createDataFrame(rows, "source string, ts string, n_tok int").select(
+            "source", F.col("ts").cast("timestamp").alias("ts"), "n_tok"
+        )
+
+    in_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    to_df(rows1).write.mode("append").parquet(in_dir)
+    schema = to_df(rows1).schema
+
+    merged = {}
+
+    def merge_fn(batch_df, batch_id):
+        for r in batch_df.collect():
+            merged[(r["source"], r["bucket_ts"])] = (
+                r["tok_sum"], r["tok_count"], r["tok_min"], r["tok_max"]
+            )
+
+    for arrival in (None, rows2):
+        if arrival is not None:
+            to_df(arrival).write.mode("append").parquet(in_dir)
+        agg = rollup_stream.stream_rollup(
+            spark, in_dir, schema, tier="1m", watermark="30 minutes"
+        )
+        q = rollup_stream.run_incremental(agg, ckpt, merge_fn)
+        q.awaitTermination(120)
+        time.sleep(0.5)
+
+    batch = rollup.rollup_raw(spark.read.parquet(in_dir), "1m")
+    expected = {
+        (r["source"], r["bucket_ts"]): (r["tok_sum"], r["tok_count"], r["tok_min"], r["tok_max"])
+        for r in batch.collect()
+    }
+    assert merged == expected
+    # the late rows really did update already-emitted buckets
+    import datetime
+    b_a = merged[("a", datetime.datetime(2024, 1, 1, 10, 0))]
+    assert b_a == (14, 3, 2, 7)  # 5 + 7 + late 2
+
+
 def test_stateful_streaming_ewma_bit_exact(spark, tmp_path):
     import numpy as np
     from rust_timeseries_spark.operators import recursion as rec

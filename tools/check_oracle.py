@@ -67,6 +67,15 @@ def main() -> int:
         if name in frozen and sf_dir.rstrip("/") != frozen_dir:
             print(f"[skip] {name}: frozen oracle valid only at {frozen_dir}")
             continue
+        sf_limits = getattr(entrymod, "ORACLE_SF_LIMITS", {})
+        try:
+            sf_val = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+        except ValueError:
+            sf_val = None
+        if name in sf_limits and sf_val is not None and sf_val > sf_limits[name]:
+            print(f"[skip] {name}: oracle impractical above sf{sf_limits[name]} "
+                  "(see ORACLE_SF_LIMITS)")
+            continue
         try:
             got = normalize(fn(spark, sf_dir).toPandas())
         except Exception as e:  # noqa: BLE001

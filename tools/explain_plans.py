@@ -70,6 +70,26 @@ def main() -> None:
     n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
     checks.append(("rollup: exactly one Exchange (single shuffle)", n_exchanges == 1, plan))
 
+    # 6. minhash signatures: explode → partial+final hash aggregate (the
+    # shingle construction must be evaluated once, not once per perm)
+    from rust_timeseries_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = explain_str(dedup.minhash_signatures(docs, num_perm=16))
+    checks.append(("minhash: explode + hash aggregate (partial combine)",
+                   "Generate" in plan and "explode(" in plan and plan.count("HashAggregate") >= 2, plan))
+
+    # 7. capped n-gram Jaccard: hot-token removal is a broadcast anti-join
+    plan = explain_str(dedup.ngram_jaccard_pairs(docs, shingle_k=1, max_df=50))
+    checks.append(("jaccard: DF cap via BroadcastHashJoin LeftAnti",
+                   "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan))
+
+    # 8. ungrouped embedding near-dup: NO cartesian / nested-loop join
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    plan = explain_str(dedup.embedding_near_dup_pairs(emb, dim=64))
+    checks.append(("embedding near-dup (ungrouped): no cartesian product",
+                   "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan))
+
     failures = 0
     for name, ok, plan in checks:
         print(f"[{'ok' if ok else 'FAIL'}] {name}")

@@ -64,6 +64,7 @@ def main() -> None:
         "ngram_jaccard",
         "dedup_minhash_lsh",
         "dedup_simhash",
+        "lsh_jaccard_verify",
         "embedding_knn",
         "text_quality",
         "image_features",

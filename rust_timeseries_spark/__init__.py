@@ -21,3 +21,8 @@ from .session import build_spark  # noqa: F401,E402
 from .stats.acd import AcdSpec, acd_covariance, acd_fit  # noqa: F401,E402
 from .stats.el import escanciano_lobato  # noqa: F401,E402
 from .stats.hac import hac_covariance  # noqa: F401,E402
+
+# Drop-in reference-shaped surface (api.py ↔ reference src/lib.rs):
+# single-series code written against the reference ports by changing
+# only the import.
+from .api import ACD, EscancianoLobato, estimate_hac_covariance_matrix  # noqa: F401,E402

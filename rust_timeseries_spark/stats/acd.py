@@ -50,7 +50,12 @@ class AcdSpec:
     psi_guards: tuple[float, float] = DEFAULT_PSI_GUARDS
     t0: int | None = None
     tol_grad: float = 1e-6
+    #: absolute cost-stagnation tolerance; None → optimizer default
+    #: (machine ε, argmin parity — see stats/optim.py)
+    tol_cost: float | None = None
     max_iter: int = 300
+    #: L-BFGS memory; None → DEFAULT_LBFGS_MEM (m=7, types.rs:91)
+    lbfgs_mem: int | None = None
     #: "MoreThuente" | "HagerZhang", case-insensitive (traits.rs:179-189)
     line_searcher: str = "more_thuente"
     #: per-iteration optimizer progress lines (traits.rs verbose flag)
@@ -239,8 +244,13 @@ def fit_series(x: np.ndarray, theta0: np.ndarray, spec: AcdSpec) -> dict:
     def g(t):
         return -grad(x, t, spec)
 
+    from ..constants import DEFAULT_LBFGS_MEM
+    from .optim import DEFAULT_TOL_COST
+
     out = lbfgs_minimize(
         f, g, theta0, tol_grad=spec.tol_grad, max_iter=spec.max_iter,
+        m=spec.lbfgs_mem if spec.lbfgs_mem is not None else DEFAULT_LBFGS_MEM,
+        tol_cost=spec.tol_cost if spec.tol_cost is not None else DEFAULT_TOL_COST,
         line_searcher=spec.line_searcher, verbose=spec.verbose,
     )
     theta_hat = out.theta_hat

@@ -39,9 +39,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from rust_timeseries_spark.functions.xxh64 import spark_xxhash64  # noqa: E402
 
 # driver-query parameters (must match __spark_entry__._q_minhash_dedup /
-# _q_simhash exactly)
+# _q_simhash / _q_lsh_verify exactly)
 MINHASH = dict(shingle_k=3, num_perm=32, bands=8, rows_per_band=4, threshold=0.5, seed=42)
 SIMHASH = dict(max_hamming=7, n_chunks=8)
+LSH_VERIFY_THRESHOLD = 0.5
 
 
 def shingles(text: str, k: int) -> list[str]:
@@ -53,11 +54,10 @@ def shingles(text: str, k: int) -> list[str]:
     return [" ".join(ws)]
 
 
-def minhash_pairs_py(docs: list[tuple[int, str]]) -> dict[tuple[int, int], float]:
-    """Independent MinHash-LSH: signatures → band buckets → candidate
-    pairs → signature-agreement Jaccard ≥ threshold."""
+def _lsh_candidates_py(docs: list[tuple[int, str]]):
+    """Shared stage: signatures + band-bucket candidate pairs."""
     num_perm, k, seed = MINHASH["num_perm"], MINHASH["shingle_k"], MINHASH["seed"]
-    bands, rpb, thr = MINHASH["bands"], MINHASH["rows_per_band"], MINHASH["threshold"]
+    bands, rpb = MINHASH["bands"], MINHASH["rows_per_band"]
     sigs: dict[int, list[int]] = {}
     buckets: dict[tuple[int, int], list[int]] = {}
     for doc_id, text in docs:
@@ -77,12 +77,36 @@ def minhash_pairs_py(docs: list[tuple[int, str]]) -> dict[tuple[int, int], float
         for i in range(len(ids)):
             for j in range(i + 1, len(ids)):
                 cands.add((ids[i], ids[j]))
+    return sigs, cands
+
+
+def minhash_pairs_py(docs: list[tuple[int, str]]) -> dict[tuple[int, int], float]:
+    """Independent MinHash-LSH: signatures → band buckets → candidate
+    pairs → signature-agreement Jaccard ≥ threshold."""
+    num_perm, thr = MINHASH["num_perm"], MINHASH["threshold"]
+    sigs, cands = _lsh_candidates_py(docs)
     out = {}
     for a, b in cands:
         agree = sum(1 for x, y in zip(sigs[a], sigs[b]) if x == y)
         est = agree / num_perm
         if est >= thr:
             out[(a, b)] = est
+    return out
+
+
+def lsh_verified_pairs_py(docs: list[tuple[int, str]]) -> dict[tuple[int, int], tuple]:
+    """Independent LSH-verified EXACT Jaccard: band-bucket candidates →
+    exact set Jaccard over distinct shingles ≥ LSH_VERIFY_THRESHOLD."""
+    k = MINHASH["shingle_k"]
+    _, cands = _lsh_candidates_py(docs)
+    sets = {doc_id: set(shingles(text, k)) for doc_id, text in docs}
+    out = {}
+    for a, b in cands:
+        inter = len(sets[a] & sets[b])
+        union = len(sets[a] | sets[b])
+        j = inter / union
+        if j >= LSH_VERIFY_THRESHOLD:
+            out[(a, b)] = (inter, union, j)
     return out
 
 
@@ -119,11 +143,21 @@ def simhash_pairs_py(docs: list[tuple[int, str]]) -> dict[tuple[int, int], int]:
     return out
 
 
+def _sql_literal(v) -> str:
+    # floats go through a STRING cast: DuckDB types a bare decimal
+    # literal as DECIMAL first, and DECIMAL→DOUBLE can differ from IEEE
+    # strtod by 1 ulp; CAST('…' AS DOUBLE) is strtod, which round-trips
+    # Python's repr exactly
+    if isinstance(v, float):
+        return f"CAST('{v!r}' AS DOUBLE)"
+    return repr(v)
+
+
 def to_values_sql(rows: list[tuple], cols: list[str], types: list[str]) -> str:
     if not rows:
         sel = ", ".join(f"CAST(NULL AS {t}) AS {c}" for c, t in zip(cols, types))
         return f"SELECT {sel} WHERE FALSE"
-    body = ",\n  ".join("(" + ", ".join(repr(v) for v in row) + ")" for row in rows)
+    body = ",\n  ".join("(" + ", ".join(_sql_literal(v) for v in row) + ")" for row in rows)
     casts = ", ".join(f"CAST({c} AS {t}) AS {c}" for c, t in zip(cols, types))
     return f"SELECT {casts} FROM (VALUES\n  {body}\n) AS t({', '.join(cols)})"
 
@@ -139,7 +173,9 @@ def main() -> int:
 
     mh = minhash_pairs_py(docs)
     sh = simhash_pairs_py(docs)
-    print(f"independent recompute: minhash {len(mh)} pairs, simhash {len(sh)} pairs")
+    lv = lsh_verified_pairs_py(docs)
+    print(f"independent recompute: minhash {len(mh)}, simhash {len(sh)}, "
+          f"lsh-verified {len(lv)} pairs")
 
     # verify against the engine before freezing
     import __spark_entry__ as entrymod
@@ -155,6 +191,10 @@ def main() -> int:
         (r["id_a"], r["id_b"]): r["hamming"]
         for r in qs["dedup_simhash"](spark, sf_dir).collect()
     }
+    got_lv = {
+        (r["id_a"], r["id_b"]): (r["inter"], r["union_sz"], r["jaccard"])
+        for r in qs["lsh_jaccard_verify"](spark, sf_dir).collect()
+    }
     spark.stop()
     if got_mh != mh:
         extra, missing = set(got_mh) - set(mh), set(mh) - set(got_mh)
@@ -166,12 +206,24 @@ def main() -> int:
         extra, missing = set(got_sh) - set(sh), set(sh) - set(got_sh)
         print(f"SIMHASH MISMATCH: engine-only {sorted(extra)[:5]}, recompute-only {sorted(missing)[:5]}")
         return 1
+    if got_lv != lv:
+        extra, missing = set(got_lv) - set(lv), set(lv) - set(got_lv)
+        print(f"LSH-VERIFY MISMATCH: engine-only {sorted(extra)[:5]}, recompute-only {sorted(missing)[:5]}")
+        vals = {k: (got_lv.get(k), lv.get(k)) for k in list(set(got_lv) | set(lv))[:5]
+                if got_lv.get(k) != lv.get(k)}
+        print("value diffs:", vals)
+        return 1
     print("engine output == independent recompute — freezing")
 
     mh_rows = sorted((a, b, est) for (a, b), est in mh.items())
     sh_rows = sorted((a, b, h) for (a, b), h in sh.items())
+    lv_rows = sorted((a, b, i, u, j) for (a, b), (i, u, j) in lv.items())
     mh_sql = to_values_sql(mh_rows, ["id_a", "id_b", "est_jaccard"], ["BIGINT", "BIGINT", "DOUBLE"])
     sh_sql = to_values_sql(sh_rows, ["id_a", "id_b", "hamming"], ["BIGINT", "BIGINT", "INTEGER"])
+    lv_sql = to_values_sql(
+        lv_rows, ["id_a", "id_b", "inter", "union_sz", "jaccard"],
+        ["BIGINT", "BIGINT", "INTEGER", "INTEGER", "DOUBLE"],
+    )
 
     out_path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "oracle_frozen.py")
     with open(out_path, "w") as f:
@@ -187,9 +239,11 @@ def main() -> int:
             f"SF_DIR = {sf_dir!r}\n"
             f"N_DOCS = {len(docs)}\n\n"
             f"MINHASH_LSH_SQL = '''\n{mh_sql}\n'''\n\n"
-            f"SIMHASH_SQL = '''\n{sh_sql}\n'''\n"
+            f"SIMHASH_SQL = '''\n{sh_sql}\n'''\n\n"
+            f"LSH_VERIFIED_SQL = '''\n{lv_sql}\n'''\n"
         )
-    print(f"wrote {out_path}: minhash {len(mh_rows)} rows, simhash {len(sh_rows)} rows")
+    print(f"wrote {out_path}: minhash {len(mh_rows)}, simhash {len(sh_rows)}, "
+          f"lsh-verified {len(lv_rows)} rows")
     return 0
 
 

@@ -313,6 +313,46 @@ def test_image_codec_roundtrip():
         multimodal.decode_image(b"GIF89a....")
 
 
+def test_image_codec_roundtrip_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        h=st.integers(min_value=1, max_value=24),
+        w=st.integers(min_value=1, max_value=24),
+        seed=st.integers(min_value=0, max_value=2 ** 31 - 1),
+    )
+    def roundtrip(h, w, seed):
+        img = np.random.default_rng(seed).integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert np.array_equal(multimodal.decode_image(multimodal.encode_bmp(img)), img)
+        assert np.array_equal(multimodal.decode_image(multimodal.encode_ppm(img)), img)
+
+    roundtrip()
+
+
+def test_audio_codec_roundtrip_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        n=st.integers(min_value=1, max_value=500),
+        ch=st.integers(min_value=1, max_value=2),
+        rate=st.sampled_from([8000, 16000, 44100]),
+        seed=st.integers(min_value=0, max_value=2 ** 31 - 1),
+    )
+    def roundtrip(n, ch, rate, seed):
+        s = np.random.default_rng(seed).integers(
+            -(2 ** 15), 2 ** 15, size=(n, ch)
+        ).astype(np.int16)
+        wave, got_rate = multimodal.decode_audio(multimodal.encode_wav(s, rate))
+        assert got_rate == rate
+        assert np.array_equal(wave, s)
+
+    roundtrip()
+
+
 def test_audio_codec_roundtrip():
     rng = np.random.default_rng(4)
     mono = rng.integers(-(2 ** 15), 2 ** 15, size=1000).astype(np.int16)

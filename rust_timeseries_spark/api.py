@@ -193,23 +193,21 @@ class ACD:
         theta0_a = np.asarray(theta0, dtype=np.float64)
         spec = self._spec_for(t0, diurnal, unit_name)
         # named evaluation counters (argmin CountingProblem parity,
-        # lib.rs fn_evals getter): wrap cost/gradient separately
+        # lib.rs fn_evals getter): cost/gradient wrappers injected into
+        # fit_series — no module state is touched (thread-safe)
         counts = {"cost_count": 0, "gradient_count": 0}
-        orig_loglik, orig_grad = _acd.loglik, _acd.grad
 
         def counting_loglik(xx, tt, sp):
             counts["cost_count"] += 1
-            return orig_loglik(xx, tt, sp)
+            return _acd.loglik(xx, tt, sp)
 
         def counting_grad(xx, tt, sp):
             counts["gradient_count"] += 1
-            return orig_grad(xx, tt, sp)
+            return _acd.grad(xx, tt, sp)
 
-        _acd.loglik, _acd.grad = counting_loglik, counting_grad
-        try:
-            r = _acd.fit_series(x, theta0_a, spec)
-        finally:
-            _acd.loglik, _acd.grad = orig_loglik, orig_grad
+        r = _acd.fit_series(
+            x, theta0_a, spec, loglik_fn=counting_loglik, grad_fn=counting_grad
+        )
         self._results = ACDOptimOutcome(
             theta_hat=r["theta_hat"],
             value=-r["loglik"],  # optimizer cost = −ℓ (adapter.rs:216-222)
@@ -235,6 +233,7 @@ class ACD:
             raise ValueError("ModelNotFitted: call fit() before forecast()")
         V.validate_horizon(horizon)
         x, _unit_name, _diurnal = _convert_durations(durations, unit, t0, diurnal_adjusted)
+        self._check_length(x)
         fp = self._fitted
         alpha = np.asarray(fp.alpha)
         beta = np.asarray(fp.beta)
@@ -266,6 +265,7 @@ class ACD:
         if self._results is None:
             raise ValueError("ModelNotFitted: call fit() before covariance_matrix()")
         x, unit_name, diurnal = _convert_durations(durations, unit, t0, diurnal_adjusted)
+        self._check_length(x)
         spec = self._spec_for(t0, diurnal, unit_name)
         cov = _acd.covariance_series(
             x,

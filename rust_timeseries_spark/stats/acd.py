@@ -106,6 +106,10 @@ def _compute_psi(x: np.ndarray, theta: np.ndarray, spec: AcdSpec):
             spec.init, omega, alpha, beta, sample_mean, p, q, fixed_value=spec.init_value
         )
     psi = psi_recursion_np(x, omega, alpha, beta, pi, di, spec.psi_guards)
+    # the guards clamp magnitude but pass NaN through (NaN fails both
+    # comparisons) — NonFinitePsi (errors.rs:244-249) is the honest
+    # failure; the optimizer's cost wrapper maps it to +inf
+    V.validate_psi_finite(psi)
     return psi, omega, alpha, beta, slack, pi, di
 
 
@@ -226,23 +230,42 @@ def scores(x: np.ndarray, theta: np.ndarray, spec: AcdSpec) -> np.ndarray:
     return mat
 
 
-def fit_series(x: np.ndarray, theta0: np.ndarray, spec: AcdSpec) -> dict:
+def fit_series(
+    x: np.ndarray,
+    theta0: np.ndarray,
+    spec: AcdSpec,
+    loglik_fn=None,
+    grad_fn=None,
+) -> dict:
     """MLE: minimize −ℓ (adapter sign flip adapter.rs:216-222); after
     convergence recompute ψ at θ̂ and keep the last p ψ-lags
-    (acd.rs:315-326)."""
+    (acd.rs:315-326).
+
+    ``loglik_fn``/``grad_fn`` override the kernels (same ``(x, θ,
+    spec)`` signature) — used by the API layer to thread evaluation
+    counters without monkeypatching module state."""
     x = np.asarray(x, dtype=np.float64)
     spec.validated()  # option surface (ACDMeta/ACDOptions)
     V.validate_series(x, spec.t0)  # data.rs:167-188
     V.validate_theta(np.asarray(theta0, dtype=np.float64), spec.p, spec.q)  # validation.rs:726
+    ll = loglik_fn if loglik_fn is not None else loglik
+    gr = grad_fn if grad_fn is not None else grad
 
     def f(t):
         try:
-            return -loglik(x, t, spec)
+            return -ll(x, t, spec)
         except (ValueError, FloatingPointError, OverflowError):
             return float("inf")
 
     def g(t):
-        return -grad(x, t, spec)
+        try:
+            return -gr(x, t, spec)
+        except (ValueError, FloatingPointError, OverflowError):
+            # a garbage θ probed past the feasible region: a NaN
+            # gradient makes every curvature comparison fail, so the
+            # search backs off and the optimizer terminates
+            # LineSearchFailed instead of aborting the whole fit
+            return np.full(len(t), np.nan)
 
     from ..constants import DEFAULT_LBFGS_MEM
     from .optim import DEFAULT_TOL_COST
@@ -393,6 +416,7 @@ def loglik_at_params(
             fixed_value=spec.init_value,
         )
     psi = psi_recursion_np(x, omega, alpha, beta, pi, di, spec.psi_guards)
+    V.validate_psi_finite(psi)  # NonFinitePsi (errors.rs:244-249)
     t0 = spec.t0 or 0
     lp = S.logpdf_vec(x[t0:], psi[t0:], spec.law, spec.law_full_params())
     total = 0.0

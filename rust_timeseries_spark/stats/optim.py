@@ -102,6 +102,12 @@ def fd_gradient(f, x: np.ndarray, fx: float | None = None) -> np.ndarray:
         e = np.zeros(n)
         e[i] = h[i]
         g[i] = (f(x + e) - f0) / h[i]
+    if not np.all(np.isfinite(g)):
+        # both passes hit a non-finite cost region — erroring beats
+        # returning an inf/NaN gradient that poisons L-BFGS state
+        # (adapter.rs validate_grad rejects non-finite gradients)
+        bad = int(np.argmin(np.isfinite(g)))
+        raise ValueError(f"NonFiniteGradient: component={bad} value={g[bad]}")
     return g
 
 
@@ -162,6 +168,13 @@ def _mt_cstep(stx, fx_, dx_, sty, fy, dy, stp, fp_, dp_, brackt, stmin, stmax):
         stpq = stp + (dp_ / (dp_ - dx_)) * (stx - stp)
         if brackt:
             stpf = stpc if abs(stp - stpc) < abs(stp - stpq) else stpq
+            # MINPACK dcstep p66 safeguard: keep the bracketed trial
+            # step at least 0.34 of the interval away from sty so the
+            # bracket cannot collapse onto its far end
+            if stp > stx:
+                stpf = min(stp + 0.66 * (sty - stp), stpf)
+            else:
+                stpf = max(stp + 0.66 * (sty - stp), stpf)
         else:
             stpf = stpc if abs(stp - stpc) > abs(stp - stpq) else stpq
     else:
@@ -221,15 +234,17 @@ def _more_thuente(phi, dphi, phi0, dphi0, c1=1e-4, c2=0.9, xtol=1e-10,
         ):
             stp = stx
         f_ = phi(stp)
-        d_ = dphi(stp)
         evals += 1
         if not np.isfinite(f_):
             # shrink toward the good end — argmin's MT treats a
-            # non-finite probe as "too far"
+            # non-finite probe as "too far". The gradient is NOT
+            # evaluated at a non-finite point (it may be garbage or
+            # raise, and it costs a full O(n) recursion).
             stp = stx + 0.5 * (stp - stx)
             if abs(stp - stx) < 1e-18:
                 return (stx if stx > 0 else None), evals
             continue
+        d_ = dphi(stp)
         ftest = phi0 + stp * dgtest
         # convergence: strong Wolfe
         if f_ <= ftest and abs(d_) <= c2 * (-dphi0):
@@ -290,9 +305,15 @@ def _hager_zhang(phi, dphi, phi0, dphi0, delta=0.1, sigma=0.9,
         return (2.0 * delta - 1.0) * dphi0 >= da >= sigma * dphi0 and fa <= phi0 + eps_k
 
     def eval_at(a):
+        # cost first; the gradient is only evaluated at finite-cost
+        # points (callers treat a non-finite fa as "too far" and never
+        # read da)
         nonlocal evals
         evals += 1
-        return phi(a), dphi(a)
+        fa = phi(a)
+        if not np.isfinite(fa):
+            return fa, np.nan
+        return fa, dphi(a)
 
     # ---- bracket [a, b] with: φ'(a) < 0, φ(a) ≤ φ0+ε_k, φ'(b) ≥ 0 (or φ(b) > φ0+ε_k)
     a, fa, da = 0.0, phi0, dphi0

@@ -178,7 +178,11 @@ def validate_model_shape(p: int, q: int) -> None:
 
 
 def validate_epsilon_floor(value: float) -> None:
-    """InvalidEpsilonFloor (errors.rs:215-217): finite and > 0."""
+    """InvalidEpsilonFloor (errors.rs:215-217): finite and > 0.
+
+    NOTE: vestigial in the REFERENCE too — the variant and its message
+    exist (errors.rs:345) but no non-test reference code path raises it;
+    provided for taxonomy completeness."""
     if not math.isfinite(value) or value <= 0.0:
         raise ValueError(f"InvalidEpsilonFloor: value={value}")
 

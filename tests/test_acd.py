@@ -123,3 +123,19 @@ def test_spark_acd_covariance(spark):
     assert rows[0]["error"] is None
     cov = np.array(rows[0]["cov"]).reshape(3, 3)
     assert np.all(np.isfinite(cov)) and np.all(np.diag(cov) >= 0)
+
+
+def test_acd_loglik_fixed_spark_matches_numpy(spark):
+    # the per-key fixed-theta loglik operator (the oracle-able companion
+    # of acd_fit) must equal the single-series kernel exactly
+    import numpy as np
+
+    sim = datagen.simulate_acd(n=200, omega=0.2, alpha=[0.15], beta=[0.6], seed=3)["x"]
+    rows = [("a", int(t), float(v)) for t, v in enumerate(sim)]
+    rows += [("b", int(t), float(v)) for t, v in enumerate(sim[::-1])]
+    df = spark.createDataFrame(rows, "key string, t long, v double")
+    spec = AcdSpec(p=1, q=1)
+    got = {r["key"]: r["loglik"] for r in
+           acd.acd_loglik_fixed(df, ["key"], spec, omega=0.2, alpha=[0.2], beta=[0.3]).collect()}
+    assert got["a"] == acd.loglik_at_params(np.asarray(sim), 0.2, [0.2], [0.3], spec)
+    assert got["b"] == acd.loglik_at_params(np.asarray(sim[::-1]).copy(), 0.2, [0.2], [0.3], spec)

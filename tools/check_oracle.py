@@ -57,15 +57,21 @@ def main() -> int:
     try:
         import oracle_frozen
 
-        frozen_dir = oracle_frozen.SF_DIR.rstrip("/")
-    except ImportError:
-        frozen_dir = None
+        # compare SCALE FACTORS, not path spellings — a relative path or
+        # symlink to the right sf directory must still run the check
+        frozen_sf = float(oracle_frozen.SF)
+    except (ImportError, ValueError):
+        frozen_sf = None
+    try:
+        this_sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        this_sf = None
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
             continue
-        if name in frozen and sf_dir.rstrip("/") != frozen_dir:
-            print(f"[skip] {name}: frozen oracle valid only at {frozen_dir}")
+        if name in frozen and (this_sf is None or this_sf != frozen_sf):
+            print(f"[skip] {name}: frozen oracle valid only at sf{frozen_sf}")
             continue
         sf_limits = getattr(entrymod, "ORACLE_SF_LIMITS", {})
         try:

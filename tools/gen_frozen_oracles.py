@@ -32,7 +32,6 @@ import os
 import sys
 
 import duckdb
-import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -114,32 +113,39 @@ def simhash_pairs_py(docs: list[tuple[int, str]]) -> dict[tuple[int, int], int]:
     """Independent SimHash: per-doc bit-vote over xxhash64 token hashes,
     then EXACT all-pairs Hamming ≤ max_hamming (the engine's 8-chunk
     bucketing guarantees recall at this radius, so exact all-pairs is
-    the correct reference — it checks recall, not just precision)."""
-    ids, hashes = [], []
+    the correct reference — it checks recall, not just precision).
+
+    Independence note: the bit-vote and Hamming math here are written
+    in plain Python int arithmetic — deliberately NOT the engine's
+    numpy broadcast kernel (operators/dedup.py simhash_from_hashes) —
+    so a bug in that kernel cannot cancel out in this recompute. The
+    one shared component is the XXH64 reimplementation
+    (functions/xxh64.py), whose correctness is anchored EXTERNALLY by
+    the pytest pin against Spark's own F.xxhash64."""
+    max_h = SIMHASH["max_hamming"]
+    sims: list[tuple[int, int]] = []
     for doc_id, text in docs:
         toks = text.split(" ") if text else []
-        if not toks:
-            sim = 0
-        else:
-            hs = np.array(
-                [spark_xxhash64(w) for w in toks], dtype=np.int64
-            ).view(np.uint64)
-            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
-            votes = (2 * bits - 1).sum(axis=0)
-            weights = np.left_shift(np.uint64(1), np.arange(64, dtype=np.uint64))
-            sim = int(np.bitwise_or.reduce(np.where(votes > 0, weights, np.uint64(0))))
-        ids.append(doc_id)
-        hashes.append(sim)
-    hs = np.array(hashes, dtype=np.uint64)
-    ids_a = np.array(ids, dtype=np.int64)
+        sim = 0
+        if toks:
+            votes = [0] * 64
+            for w in toks:
+                h = spark_xxhash64(w) & 0xFFFFFFFFFFFFFFFF  # unsigned view
+                for b in range(64):
+                    votes[b] += 1 if (h >> b) & 1 else -1
+            for b in range(64):
+                if votes[b] > 0:
+                    sim |= 1 << b
+        sims.append((doc_id, sim))
     out = {}
-    # vectorized all-pairs hamming via XOR + unpackbits popcount
-    xor = hs[:, None] ^ hs[None, :]
-    pop = np.unpackbits(xor.view(np.uint8).reshape(len(hs), len(hs), 8), axis=2).sum(axis=2)
-    ii, jj = np.where((pop <= SIMHASH["max_hamming"]) & (ids_a[:, None] < ids_a[None, :]))
-    for i, j in zip(ii, jj):
-        a, b = int(ids_a[i]), int(ids_a[j])
-        out[(a, b)] = int(pop[i, j])
+    for i in range(len(sims)):
+        for j in range(i + 1, len(sims)):
+            (a, sa), (b, sb) = sims[i], sims[j]
+            if a > b:
+                (a, sa), (b, sb) = (b, sb), (a, sa)
+            d = bin(sa ^ sb).count("1")
+            if d <= max_h:
+                out[(a, b)] = d
     return out
 
 

@@ -208,9 +208,13 @@ def ngram_jaccard_pairs(
         .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
+    # sizes has one row per DOCUMENT — unbounded at corpus scale, so it
+    # must never be force-broadcast (a billions-row broadcast OOMs the
+    # driver at 100 TB).  Plain equi-joins: AQE broadcasts them at
+    # runtime when the corpus is actually small, and shuffles otherwise.
     return (
-        inter.join(F.broadcast(sizes).withColumnRenamed(id_col, "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
-        .join(F.broadcast(sizes).withColumnRenamed(id_col, "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        inter.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
         .withColumn("union_sz", F.col("sz_a") + F.col("sz_b") - F.col("inter"))
         .withColumn("jaccard", F.col("inter").cast("double") / F.col("union_sz"))
         .select("id_a", "id_b", "inter", "union_sz", "jaccard")

@@ -41,9 +41,9 @@ def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     words = words_col(text_col)
     bpe = F.expr(f"regexp_extract_all({text_col}, '{BPE_SPLIT_PATTERN}', 0)")
     return (
-        df.withColumn("n_ws_tokens", F.size(words))
-        .withColumn("n_bpe_tokens", F.size(bpe))
-        .withColumn("n_distinct_tokens", F.size(F.array_distinct(words)))
+        df.withColumn("n_ws_tokens", F.size(words).cast("long"))
+        .withColumn("n_bpe_tokens", F.size(bpe).cast("long"))
+        .withColumn("n_distinct_tokens", F.size(F.array_distinct(words)).cast("long"))
         .withColumn("ttr", F.col("n_distinct_tokens").cast("double") / F.col("n_ws_tokens"))
     )
 
@@ -95,7 +95,7 @@ def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn(
         "lang_pred",
         F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")),
-    ).withColumn("lang_hits", best["hits"])
+    ).withColumn("lang_hits", best["hits"].cast("long"))
 
 
 def with_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -124,7 +124,8 @@ def _mt_cstep(stx, fx_, dx_, sty, fy, dy, stp, fp_, dp_, brackt, stmin, stmax):
         # case 1: higher function value — minimum bracketed
         theta = 3.0 * (fx_ - fp_) / (stp - stx) + dx_ + dp_
         s = max(abs(theta), abs(dx_), abs(dp_))
-        gamma = s * np.sqrt((theta / s) ** 2 - (dx_ / s) * (dp_ / s))
+        # discriminant is analytically >= 0 here; clamp absorbs rounding
+        gamma = s * np.sqrt(max(0.0, (theta / s) ** 2 - (dx_ / s) * (dp_ / s)))
         if stp < stx:
             gamma = -gamma
         p = (gamma - dx_) + theta
@@ -138,7 +139,7 @@ def _mt_cstep(stx, fx_, dx_, sty, fy, dy, stp, fp_, dp_, brackt, stmin, stmax):
         # case 2: lower value, opposite derivative signs
         theta = 3.0 * (fx_ - fp_) / (stp - stx) + dx_ + dp_
         s = max(abs(theta), abs(dx_), abs(dp_))
-        gamma = s * np.sqrt((theta / s) ** 2 - (dx_ / s) * (dp_ / s))
+        gamma = s * np.sqrt(max(0.0, (theta / s) ** 2 - (dx_ / s) * (dp_ / s)))
         if stp > stx:
             gamma = -gamma
         p = (gamma - dp_) + theta
@@ -182,7 +183,7 @@ def _mt_cstep(stx, fx_, dx_, sty, fy, dy, stp, fp_, dp_, brackt, stmin, stmax):
         if brackt:
             theta = 3.0 * (fp_ - fy) / (sty - stp) + dy + dp_
             s = max(abs(theta), abs(dy), abs(dp_))
-            gamma = s * np.sqrt((theta / s) ** 2 - (dy / s) * (dp_ / s))
+            gamma = s * np.sqrt(max(0.0, (theta / s) ** 2 - (dy / s) * (dp_ / s)))
             if stp > sty:
                 gamma = -gamma
             p = (gamma - dp_) + theta

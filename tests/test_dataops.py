@@ -113,6 +113,30 @@ def test_ngram_jaccard_max_df_bounds_hot_token_blowup(spark):
     assert uncapped.count() == n * (n - 1) // 2
 
 
+def test_ngram_jaccard_sizes_join_not_forced_broadcast(spark):
+    # The per-doc `sizes` table is unbounded at corpus scale, so the
+    # operator must not force-broadcast it: with AQE auto-broadcast
+    # disabled the plan has to fall back to shuffle joins and still
+    # produce exact values. (The hot-token list broadcast is exempt —
+    # it is bounded by construction.)
+    df = spark.createDataFrame(
+        [("a", "x y z"), ("b", "x y w"), ("c", "p q r")],
+        "doc_id string, text string",
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        pairs_df = dedup.ngram_jaccard_pairs(df, shingle_k=1)
+        plan = pairs_df._jdf.queryExecution().executedPlan().toString()
+        # no broadcast exchange may survive when auto-broadcast is off
+        # (a ResolvedHint/forced broadcast would still show one)
+        assert "BroadcastExchange" not in plan, plan
+        pairs = {(r["id_a"], r["id_b"]): r for r in pairs_df.collect()}
+        assert pairs[("a", "b")]["jaccard"] == 0.5
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_lsh_verified_pairs_exact_jaccard_on_candidates(spark):
     base = "the quick brown fox jumps over the lazy dog again and again " * 5
     near = base.replace("lazy", "sleepy")

@@ -1,8 +1,10 @@
 """Local stand-in for the driver's correctness gate: runs every
 ``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB at the
-given sf dir, then compares row count, column names, and an
-order-insensitive value multiset (floats compared exactly — the query
-conventions are responsible for making that stable).
+given sf dir, then compares row count, column names, **Arrow-level
+column types** (the driver's value hash is type-sensitive — a DuckDB
+DECIMAL128 vs Spark BIGINT mismatch must fail HERE, not at the driver),
+and an order-insensitive value multiset (floats compared exactly — the
+query conventions are responsible for making that stable).
 
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
 """
@@ -14,6 +16,7 @@ import sys
 
 import duckdb
 import pandas as pd
+import pyarrow as pa
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -21,6 +24,34 @@ TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
 ]
+
+
+def canonical_type(t: pa.DataType) -> str:
+    """Collapse representation-only Arrow type differences that do NOT
+    change serialized values: large vs regular string/binary, timestamp
+    unit (both engines emit tz-naive microseconds for these queries),
+    list vs large_list of the same element. Everything else — including
+    decimal vs integer, int32 vs int64, float32 vs float64 — stays
+    distinct, because the driver's value hash distinguishes them."""
+    if pa.types.is_large_string(t) or pa.types.is_string(t):
+        return "string"
+    if pa.types.is_large_binary(t) or pa.types.is_binary(t):
+        return "binary"
+    if pa.types.is_timestamp(t):
+        return f"timestamp[tz={t.tz}]"
+    if pa.types.is_large_list(t) or pa.types.is_list(t):
+        return f"list<{canonical_type(t.value_type)}>"
+    return str(t)
+
+
+def schema_mismatches(got: pa.Schema, exp: pa.Schema) -> list[str]:
+    g = {f.name: canonical_type(f.type) for f in got}
+    e = {f.name: canonical_type(f.type) for f in exp}
+    out = []
+    for name in sorted(set(g) | set(e)):
+        if g.get(name) != e.get(name):
+            out.append(f"{name}: spark={g.get(name)} oracle={e.get(name)}")
+    return out
 
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
@@ -83,7 +114,8 @@ def main() -> int:
                   "(see ORACLE_SF_LIMITS)")
             continue
         try:
-            got = normalize(fn(spark, sf_dir).toPandas())
+            got_tbl = fn(spark, sf_dir).toArrow()
+            got = normalize(got_tbl.to_pandas())
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"[FAIL] {name}: spark error {type(e).__name__}: {e}")
@@ -92,7 +124,8 @@ def main() -> int:
             print(f"[rows-only] {name}: {len(got)} rows")
             continue
         try:
-            exp = normalize(con.execute(oracles[name]).fetchdf())
+            exp_tbl = con.execute(oracles[name]).arrow()
+            exp = normalize(exp_tbl.to_pandas())
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"[FAIL] {name}: duckdb error {type(e).__name__}: {e}")
@@ -100,6 +133,10 @@ def main() -> int:
         ok = True
         if list(got.columns) != list(exp.columns):
             print(f"[FAIL] {name}: columns spark={list(got.columns)} oracle={list(exp.columns)}")
+            ok = False
+        type_bad = schema_mismatches(got_tbl.schema, exp_tbl.schema)
+        if type_bad:
+            print(f"[FAIL] {name}: arrow type mismatch — " + "; ".join(type_bad))
             ok = False
         elif len(got) != len(exp):
             print(f"[FAIL] {name}: rows spark={len(got)} oracle={len(exp)}")

@@ -126,7 +126,7 @@ _DOD_BUCKETS = (
 )
 
 
-def encode_dod_int64(values: np.ndarray) -> bytes:
+def encode_dod_int64_py(values: np.ndarray) -> bytes:
     """Delta-of-delta encode an int64 array. Layout:
     varint(count) | raw 64-bit first value | zigzag-varint first delta |
     dod stream."""
@@ -165,7 +165,7 @@ def _wrap64(x: int) -> int:
     return ((x + (1 << 63)) & _U64) - (1 << 63)
 
 
-def decode_dod_int64(blob: bytes) -> np.ndarray:
+def decode_dod_int64_py(blob: bytes) -> np.ndarray:
     r = BitReader(blob)
     n = _read_varint(r)
     out = np.empty(n, dtype=np.uint64)
@@ -197,7 +197,7 @@ def decode_dod_int64(blob: bytes) -> np.ndarray:
     return out.view(np.int64)
 
 
-def encode_gorilla_f64(values: np.ndarray) -> bytes:
+def encode_gorilla_f64_py(values: np.ndarray) -> bytes:
     """Gorilla XOR encode a float64 array. Layout:
     varint(count) | raw 64-bit first value | XOR stream."""
     bits = np.asarray(values, dtype=np.float64).view(np.uint64)
@@ -234,7 +234,7 @@ def encode_gorilla_f64(values: np.ndarray) -> bytes:
     return w.getvalue()
 
 
-def decode_gorilla_f64(blob: bytes) -> np.ndarray:
+def decode_gorilla_f64_py(blob: bytes) -> np.ndarray:
     r = BitReader(blob)
     n = _read_varint(r)
     out_bits = np.empty(n, dtype=np.uint64)
@@ -428,3 +428,35 @@ def encode_gorilla_f64_vec(values: np.ndarray) -> bytes:
     return header + _pack_fields(
         np.array(fields, dtype=np.uint64), np.array(fbits, dtype=np.int64)
     )
+
+# ---------------------------------------------------------------------------
+# native dispatch: the compiled C kernels (rust_timeseries_spark/native)
+# are byte-identical to the *_py paths above (asserted by
+# tests/test_compression.py on every run where a C compiler exists) and
+# 20-80x faster -- they lift the documented pure-Python BitWriter
+# ceiling (BENCH/BASELINE.md §3a). No compiler -> the *_py paths serve.
+# ---------------------------------------------------------------------------
+
+try:  # pragma: no cover - trivially environment-dependent
+    from .. import native as _native
+    _HAVE_NATIVE = _native.HAVE_NATIVE
+except Exception:  # noqa: BLE001
+    _HAVE_NATIVE = False
+
+if _HAVE_NATIVE:
+    def encode_dod_int64(values: np.ndarray) -> bytes:
+        return _native.encode_dod_int64(values)
+
+    def decode_dod_int64(blob: bytes) -> np.ndarray:
+        return _native.decode_dod_int64(blob)
+
+    def encode_gorilla_f64(values: np.ndarray) -> bytes:
+        return _native.encode_gorilla_f64(values)
+
+    def decode_gorilla_f64(blob: bytes) -> np.ndarray:
+        return _native.decode_gorilla_f64(blob)
+else:
+    encode_dod_int64 = encode_dod_int64_py
+    decode_dod_int64 = decode_dod_int64_py
+    encode_gorilla_f64 = encode_gorilla_f64_py
+    decode_gorilla_f64 = decode_gorilla_f64_py

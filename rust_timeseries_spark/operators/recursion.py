@@ -44,6 +44,13 @@ from pyspark.sql import types as T
 
 from ..constants import DEFAULT_PSI_GUARDS
 
+try:
+    from .. import native as _native
+    if not _native.HAVE_NATIVE:
+        _native = None
+except Exception:  # noqa: BLE001 — no compiler → pure-Python path
+    _native = None
+
 INIT_POLICIES = ("uncond_mean", "sample_mean", "fixed", "fixed_vector")
 
 
@@ -111,6 +118,11 @@ def psi_recursion_np(
         a0, b0, om = float(alpha[0]), float(beta[0]), float(omega)
         di0 = float(dur_init[0])
         psi_prev = float(psi_init[0])
+        if _native is not None:
+            # compiled C kernel: same op sequence, compiled with
+            # -ffp-contract=off → bit-identical (tests/test_recursion.py
+            # asserts vs this very Python loop), ~15× faster again
+            return _native.psi11(x, om, a0, b0, psi_prev, di0, gmin, gmax)
         out = np.empty(n, dtype=np.float64)
         xl = x.tolist()
         for t in range(n):

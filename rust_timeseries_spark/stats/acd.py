@@ -35,6 +35,13 @@ from .. import validation as V
 from .hac import hac_covariance_np
 from .optim import lbfgs_minimize
 
+try:
+    from .. import native as _native
+    if not _native.HAVE_NATIVE:
+        _native = None
+except Exception:  # noqa: BLE001 — no compiler → pure-Python path
+    _native = None
+
 
 @dataclass
 class AcdSpec:
@@ -147,6 +154,15 @@ def _deriv_and_psi(x: np.ndarray, theta: np.ndarray, spec: AcdSpec):
         # kernels + FD tests unchanged).
         uncond = spec.init == "uncond_mean"
         a0, b0, om = float(alpha[0]), float(beta[0]), float(omega)
+        if _native is not None:
+            # compiled C kernel: same op sequence (-ffp-contract=off),
+            # bit-identical to the Python loop below (asserted by
+            # tests/test_acd.py), ~15× faster — the fit's hot loop
+            _native.dpsi11(
+                x, psi_buf, om, a0, b0, float(denom), uncond,
+                float(di[0]), deriv,
+            )
+            return psi_buf, deriv, omega, alpha, beta, slack
         d_prev0, d_prev1, d_prev2 = (float(v) for v in deriv[0])
         xl = x.tolist()
         pb = psi_buf.tolist()

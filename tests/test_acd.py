@@ -139,3 +139,35 @@ def test_acd_loglik_fixed_spark_matches_numpy(spark):
            acd.acd_loglik_fixed(df, ["key"], spec, omega=0.2, alpha=[0.2], beta=[0.3]).collect()}
     assert got["a"] == acd.loglik_at_params(np.asarray(sim), 0.2, [0.2], [0.3], spec)
     assert got["b"] == acd.loglik_at_params(np.asarray(sim[::-1]).copy(), 0.2, [0.2], [0.3], spec)
+
+
+def test_native_dpsi11_bit_identical_to_python_loop():
+    import pytest as _pytest
+
+    native = _pytest.importorskip("rust_timeseries_spark.native")
+    if not native.HAVE_NATIVE:
+        _pytest.skip("no C compiler in environment")
+    import numpy as np
+
+    from rust_timeseries_spark.constants import STATIONARITY_MARGIN
+    from rust_timeseries_spark.functions import scalar as S
+    from rust_timeseries_spark.stats import acd as A
+
+    rng = np.random.default_rng(22)
+    x = np.abs(rng.normal(size=5003)) + 0.01
+    x /= x.mean()
+    spec = A.AcdSpec(p=1, q=1)
+    for om, a0, b0 in [(0.2, 0.2, 0.3), (0.1, 0.05, 0.8)]:
+        theta = S.params_to_theta(
+            om, np.array([a0]), np.array([b0]),
+            1.0 - STATIONARITY_MARGIN - a0 - b0,
+        )
+        saved = A._native
+        A._native = None
+        try:
+            psi_py, deriv_py, *_ = A._deriv_and_psi(x, theta, spec)
+        finally:
+            A._native = saved
+        psi_ct, deriv_ct, *_ = A._deriv_and_psi(x, theta, spec)
+        np.testing.assert_array_equal(psi_py.view(np.uint64), psi_ct.view(np.uint64))
+        np.testing.assert_array_equal(deriv_py.view(np.uint64), deriv_ct.view(np.uint64))

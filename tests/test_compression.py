@@ -158,3 +158,77 @@ def test_clz_ctz_vectorized():
         assert lead[i] == exp_lead, (x, lead[i], exp_lead)
         if x:
             assert trail[i] == (x & -x).bit_length() - 1
+
+
+# --- native (compiled C) backend ----------------------------------------------
+# byte/bit equivalence of the on-demand-compiled kernels vs the pure-
+# Python reference paths. Skipped only where no C compiler exists.
+
+native = pytest.importorskip("rust_timeseries_spark.native")
+pytestmark_native = pytest.mark.skipif(
+    not getattr(native, "HAVE_NATIVE", False), reason="no C compiler in environment"
+)
+
+
+@pytestmark_native
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(min_value=I64.min, max_value=I64.max), max_size=80))
+def test_native_dod_byte_identical(xs):
+    arr = np.array(xs, dtype=np.int64)
+    blob_py = C.encode_dod_int64_py(arr)
+    assert native.encode_dod_int64(arr) == blob_py
+    np.testing.assert_array_equal(native.decode_dod_int64(blob_py),
+                                  C.decode_dod_int64_py(blob_py))
+
+
+@pytestmark_native
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.floats(allow_nan=True, allow_infinity=True, width=64), max_size=80))
+def test_native_gorilla_byte_identical(xs):
+    arr = np.array(xs, dtype=np.float64)
+    blob_py = C.encode_gorilla_f64_py(arr)
+    assert native.encode_gorilla_f64(arr) == blob_py
+    np.testing.assert_array_equal(
+        native.decode_gorilla_f64(blob_py).view(np.uint64),
+        C.decode_gorilla_f64_py(blob_py).view(np.uint64),
+    )
+
+
+@pytestmark_native
+def test_native_dod_extremes_and_bulk():
+    rng = np.random.default_rng(11)
+    cases = [
+        np.array([I64.min, I64.max, 0, -1, 1], dtype=np.int64),
+        np.cumsum(rng.integers(-3000, 3000, 50_000)).astype(np.int64),
+        rng.integers(I64.min // 2, I64.max // 2, 10_000).astype(np.int64),
+    ]
+    for arr in cases:
+        blob = C.encode_dod_int64_py(arr)
+        assert native.encode_dod_int64(arr) == blob
+        np.testing.assert_array_equal(native.decode_dod_int64(blob), arr)
+
+
+@pytestmark_native
+def test_native_gorilla_extremes_and_bulk():
+    rng = np.random.default_rng(12)
+    cases = [
+        np.array([0.0, -0.0, np.inf, -np.inf, np.nan, 5e-324, 1e308]),
+        np.cumsum(rng.normal(size=50_000)),
+        np.repeat(np.pi, 10_000),
+    ]
+    for arr in cases:
+        a = np.asarray(arr, dtype=np.float64)
+        blob = C.encode_gorilla_f64_py(a)
+        assert native.encode_gorilla_f64(a) == blob
+        np.testing.assert_array_equal(
+            native.decode_gorilla_f64(blob).view(np.uint64), a.view(np.uint64)
+        )
+
+
+@pytestmark_native
+def test_dispatch_uses_native_when_available():
+    # the public names must route through the native backend when a
+    # compiler exists (and stay byte-compatible with the _py paths)
+    assert C._HAVE_NATIVE
+    arr = np.arange(100, dtype=np.int64) * 7
+    assert C.encode_dod_int64(arr) == C.encode_dod_int64_py(arr)

@@ -124,3 +124,34 @@ def test_ewma_distributed_matches_sequential(spark):
     # seeds carry composition error — most points should be BIT-equal
     frac_exact = (dist["psi"].to_numpy() == seq["psi"].to_numpy()).mean()
     assert frac_exact > 0.5, frac_exact
+
+
+def test_native_psi11_bit_identical_to_python_loop():
+    # the compiled kernel must reproduce the pure-Python fast path bit
+    # for bit (same IEEE op sequence, -ffp-contract=off)
+    import pytest as _pytest
+
+    native = _pytest.importorskip("rust_timeseries_spark.native")
+    if not native.HAVE_NATIVE:
+        _pytest.skip("no C compiler in environment")
+    import numpy as np
+
+    from rust_timeseries_spark.constants import DEFAULT_PSI_GUARDS
+    from rust_timeseries_spark.operators import recursion as R
+
+    rng = np.random.default_rng(21)
+    x = np.abs(rng.normal(size=7001)) + 0.01
+    for om, a0, b0 in [(0.2, 0.2, 0.3), (0.1, 0.05, 0.8), (0.01, 0.4, 0.55)]:
+        mu = om / (1.0 - a0 - b0)
+        # force the pure-Python loop by bypassing the dispatcher
+        saved = R._native
+        R._native = None
+        try:
+            py = R.psi_recursion_np(
+                x, om, np.array([a0]), np.array([b0]),
+                np.array([mu]), np.array([mu]),
+            )
+        finally:
+            R._native = saved
+        ct = native.psi11(x, om, a0, b0, mu, mu, *DEFAULT_PSI_GUARDS)
+        np.testing.assert_array_equal(py.view(np.uint64), ct.view(np.uint64))

@@ -69,6 +69,7 @@ def main() -> None:
         "text_quality",
         "image_features",
         "audio_features",
+        "video_features",
         "compression_roundtrip",
     ]
     qs = entrymod.queries()
@@ -77,8 +78,12 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
 
     # warm-up: session/codegen/page-cache costs land here, not on the
-    # first timed query
+    # first timed query. Two passes: a JVM-side query AND a mapInPandas
+    # query — Python-worker + Arrow-serializer spin-up is its own cold
+    # cost (~1-2s) and previously landed on image_features' first
+    # repeat, skewing its driver-side median 3.6x above steady state
     run_noop(qs["rollup_1d_fold"](spark, sf_dir))
+    run_noop(qs["image_features"](spark, sf_dir))
     timings: dict[str, float] = {}
     for name in headline:
         samples = []

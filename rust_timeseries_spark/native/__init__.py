@@ -47,13 +47,25 @@ def _cache_dir() -> str:
     return base
 
 
+def _read_source() -> bytes | None:
+    try:
+        with open(_SRC, "rb") as f:
+            return f.read()
+    except OSError:
+        # package imported from a --py-files zip: the .c ships inside it
+        try:
+            import pkgutil
+
+            return pkgutil.get_data(__package__, "kernels.c")
+        except Exception:  # noqa: BLE001
+            return None
+
+
 def _compile() -> ctypes.CDLL | None:
     if os.environ.get("RTS_NATIVE_DISABLE") == "1":
         return None
-    try:
-        with open(_SRC, "rb") as f:
-            src = f.read()
-    except OSError:
+    src = _read_source()
+    if src is None:
         return None
     tag = hashlib.sha256(src + b"|" + " ".join(_CFLAGS).encode()).hexdigest()[:16]
     so_path = os.path.join(_cache_dir(), f"kernels_{tag}.so")
@@ -61,10 +73,18 @@ def _compile() -> ctypes.CDLL | None:
         cc = shutil.which("cc") or shutil.which("gcc") or shutil.which("clang")
         if cc is None:
             return None
+        # compile from a materialized copy (the package path may live
+        # inside a zip); the tag makes the copy content-addressed
+        c_path = os.path.join(_cache_dir(), f"kernels_{tag}.c")
         tmp = so_path + f".tmp.{os.getpid()}"
         try:
+            if not os.path.exists(c_path):
+                c_tmp = c_path + f".tmp.{os.getpid()}"
+                with open(c_tmp, "wb") as f:
+                    f.write(src)
+                os.rename(c_tmp, c_path)
             subprocess.run(
-                [cc, *_CFLAGS, "-o", tmp, _SRC],
+                [cc, *_CFLAGS, "-o", tmp, c_path],
                 check=True, capture_output=True, timeout=120,
             )
             os.rename(tmp, so_path)  # atomic: concurrent compilers converge

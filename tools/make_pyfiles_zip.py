@@ -19,7 +19,10 @@ def main() -> None:
             if "__pycache__" in dirpath:
                 continue
             for fn in filenames:
-                if fn.endswith(".py"):
+                # .c: native/kernels.c ships in the zip so executors can
+                # compile the fast-path kernels on first import (pure-
+                # Python fallback if the node has no compiler)
+                if fn.endswith((".py", ".c")):
                     full = os.path.join(dirpath, fn)
                     zf.write(full, os.path.relpath(full, ROOT))
     print(out)

@@ -39,15 +39,18 @@ def main(argv: list[str] | None = None) -> int:
     from pyspark.sql import functions as F
 
     if args.local:
-        from .session import build_spark
+        from rust_timeseries_spark.session import build_spark
         spark = build_spark(app_name="rts-pipeline")
     else:
         spark = SparkSession.builder.getOrCreate()
 
-    from .datagen import with_event_time
-    from .operators.rollup import epoch_seconds
-    from .plans.pipeline import RollupPipeline
-    from .sources.tokens import assert_invariants, read_tokens
+    # absolute imports: spark-submit runs this file as a top-level
+    # script (no parent package) with the package supplied via
+    # --py-files — relative imports would raise ImportError there
+    from rust_timeseries_spark.datagen import with_event_time
+    from rust_timeseries_spark.operators.rollup import epoch_seconds
+    from rust_timeseries_spark.plans.pipeline import RollupPipeline
+    from rust_timeseries_spark.sources.tokens import assert_invariants, read_tokens
 
     raw = read_tokens(spark, args.input, args.input_format)
     if not args.skip_invariants:

@@ -42,8 +42,20 @@ _lib = None
 
 
 def _cache_dir() -> str:
-    base = os.environ.get("RTS_NATIVE_CACHE", os.path.join(tempfile.gettempdir(), "rts_native"))
-    os.makedirs(base, exist_ok=True)
+    """Per-uid, 0700 cache directory. The .so here is CDLL-loaded into
+    the process, so the directory must not be spoofable by another
+    local user: the default path embeds the uid, is created 0700, and
+    is validated (owned by us, not group/world-writable) before use —
+    a pre-planted world-writable /tmp/rts_native cannot be hijacked."""
+    uid = os.getuid() if hasattr(os, "getuid") else 0
+    base = os.environ.get(
+        "RTS_NATIVE_CACHE", os.path.join(tempfile.gettempdir(), f"rts_native_{uid}")
+    )
+    os.makedirs(base, mode=0o700, exist_ok=True)
+    st = os.stat(base)
+    if (hasattr(os, "getuid") and st.st_uid != os.getuid()) or (st.st_mode & 0o022):
+        raise OSError(f"refusing unsafe native cache dir {base!r} "
+                      "(not owned by this uid, or group/world-writable)")
     return base
 
 
@@ -68,14 +80,18 @@ def _compile() -> ctypes.CDLL | None:
     if src is None:
         return None
     tag = hashlib.sha256(src + b"|" + " ".join(_CFLAGS).encode()).hexdigest()[:16]
-    so_path = os.path.join(_cache_dir(), f"kernels_{tag}.so")
+    try:
+        cache = _cache_dir()
+    except OSError:
+        return None
+    so_path = os.path.join(cache, f"kernels_{tag}.so")
     if not os.path.exists(so_path):
         cc = shutil.which("cc") or shutil.which("gcc") or shutil.which("clang")
         if cc is None:
             return None
         # compile from a materialized copy (the package path may live
         # inside a zip); the tag makes the copy content-addressed
-        c_path = os.path.join(_cache_dir(), f"kernels_{tag}.c")
+        c_path = os.path.join(cache, f"kernels_{tag}.c")
         tmp = so_path + f".tmp.{os.getpid()}"
         try:
             if not os.path.exists(c_path):
@@ -114,13 +130,13 @@ if _lib is not None:
     _lib.rts_encode_dod_int64.restype = _i64
     _lib.rts_encode_dod_int64.argtypes = [_p_i64, _i64, _p_u8]
     _lib.rts_decode_dod_int64.restype = _i64
-    _lib.rts_decode_dod_int64.argtypes = [ctypes.c_char_p, _p_i64]
+    _lib.rts_decode_dod_int64.argtypes = [ctypes.c_char_p, _i64, _p_i64]
     _lib.rts_blob_count.restype = _i64
-    _lib.rts_blob_count.argtypes = [ctypes.c_char_p]
+    _lib.rts_blob_count.argtypes = [ctypes.c_char_p, _i64]
     _lib.rts_encode_gorilla_f64.restype = _i64
     _lib.rts_encode_gorilla_f64.argtypes = [_p_u64, _i64, _p_u8]
     _lib.rts_decode_gorilla_f64.restype = _i64
-    _lib.rts_decode_gorilla_f64.argtypes = [ctypes.c_char_p, _p_u64]
+    _lib.rts_decode_gorilla_f64.argtypes = [ctypes.c_char_p, _i64, _p_u64]
     _lib.rts_psi11.restype = None
     _lib.rts_psi11.argtypes = [_p_f64, _i64, _dbl, _dbl, _dbl, _dbl, _dbl, _dbl, _dbl, _p_f64]
     _lib.rts_dpsi11.restype = None
@@ -137,10 +153,23 @@ def encode_dod_int64(values: np.ndarray) -> bytes:
     return out[:n].tobytes()
 
 
+def _checked_count(blob: bytes) -> int:
+    """Header count with the same failure mode as the Python BitReader
+    (IndexError on truncation) plus an allocation-bomb guard: a blob
+    encodes at least one bit per value, so count can never exceed the
+    bit length."""
+    n = _lib.rts_blob_count(blob, len(blob))
+    if n < 0 or n > 8 * len(blob):
+        raise IndexError("truncated or corrupt blob header")
+    return n
+
+
 def decode_dod_int64(blob: bytes) -> np.ndarray:
-    n = _lib.rts_blob_count(blob)
+    blob = bytes(blob)  # BinaryType columns collect as bytearray
+    n = _checked_count(blob)
     out = np.empty(n, dtype=np.int64)
-    _lib.rts_decode_dod_int64(blob, out)
+    if _lib.rts_decode_dod_int64(blob, len(blob), out) < 0:
+        raise IndexError("truncated delta-of-delta blob")
     return out
 
 
@@ -154,9 +183,11 @@ def encode_gorilla_f64(values: np.ndarray) -> bytes:
 
 
 def decode_gorilla_f64(blob: bytes) -> np.ndarray:
-    n = _lib.rts_blob_count(blob)
+    blob = bytes(blob)
+    n = _checked_count(blob)
     out = np.empty(n, dtype=np.uint64)
-    _lib.rts_decode_gorilla_f64(blob, out)
+    if _lib.rts_decode_gorilla_f64(blob, len(blob), out) < 0:
+        raise IndexError("truncated Gorilla blob")
     return out.view(np.float64)
 
 

@@ -89,13 +89,22 @@ static void bw_varint(BitWriter *w, uint64_t u) {
 
 typedef struct {
     const uint8_t *data;
-    int64_t pos; /* bit position */
+    int64_t pos;      /* bit position */
+    int64_t end_bits; /* total bits available */
+    int err;          /* set on any out-of-bounds read */
 } BitReader;
 
+/* bounds-checked read: a truncated/corrupt blob sets err and yields 0,
+ * mirroring the Python BitReader's IndexError (surfaced as a negative
+ * return from the decode entry points below) */
 static uint64_t br_read(BitReader *r, int nbits) {
     uint64_t out = 0;
     int64_t pos = r->pos;
     int remaining = nbits;
+    if (r->err || pos + nbits > r->end_bits) {
+        r->err = 1;
+        return 0;
+    }
     while (remaining > 0) {
         int64_t byte_idx = pos >> 3;
         int bit_idx = (int)(pos & 7);
@@ -115,9 +124,14 @@ static uint64_t br_varint(BitReader *r) {
     int shift = 0;
     for (;;) {
         uint64_t b = br_read(r, 8);
+        if (r->err) return 0;
         out |= (b & 0x7F) << shift;
         if (!(b & 0x80)) return out;
         shift += 7;
+        if (shift > 63) { /* corrupt continuation chain */
+            r->err = 1;
+            return 0;
+        }
     }
 }
 
@@ -168,12 +182,15 @@ int64_t rts_encode_dod_int64(const int64_t *v, int64_t n, uint8_t *out) {
 }
 
 /* out must hold n int64 where n was read from the blob header
- * (rts_dod_count); returns number of values written */
-int64_t rts_decode_dod_int64(const uint8_t *blob, int64_t *out) {
-    BitReader r = {blob, 0};
+ * (rts_blob_count); returns number of values written, or -1 on a
+ * truncated/corrupt blob */
+int64_t rts_decode_dod_int64(const uint8_t *blob, int64_t blob_len, int64_t *out) {
+    BitReader r = {blob, 0, blob_len * 8, 0};
     int64_t n = (int64_t)br_varint(&r);
+    if (r.err) return -1;
     if (n == 0) return 0;
     uint64_t cur = br_read(&r, 64);
+    if (r.err) return -1;
     out[0] = (int64_t)cur;
     if (n == 1) return 1;
     uint64_t delta = (uint64_t)zigzag_dec(br_varint(&r));
@@ -196,13 +213,15 @@ int64_t rts_decode_dod_int64(const uint8_t *blob, int64_t *out) {
         cur += delta;
         out[i] = (int64_t)cur;
     }
-    return n;
+    return r.err ? -1 : n;
 }
 
-/* value count from a blob header (shared varint layout) */
-int64_t rts_blob_count(const uint8_t *blob) {
-    BitReader r = {blob, 0};
-    return (int64_t)br_varint(&r);
+/* value count from a blob header (shared varint layout); -1 if the
+ * header itself is truncated/corrupt */
+int64_t rts_blob_count(const uint8_t *blob, int64_t blob_len) {
+    BitReader r = {blob, 0, blob_len * 8, 0};
+    int64_t n = (int64_t)br_varint(&r);
+    return r.err ? -1 : n;
 }
 
 /* ------------------------------------------------------------------ */
@@ -243,12 +262,14 @@ int64_t rts_encode_gorilla_f64(const uint64_t *bits, int64_t n, uint8_t *out) {
     return bw_finish(&w);
 }
 
-/* out must hold n uint64 (n = rts_blob_count) */
-int64_t rts_decode_gorilla_f64(const uint8_t *blob, uint64_t *out) {
-    BitReader r = {blob, 0};
+/* out must hold n uint64 (n = rts_blob_count); -1 on truncated blob */
+int64_t rts_decode_gorilla_f64(const uint8_t *blob, int64_t blob_len, uint64_t *out) {
+    BitReader r = {blob, 0, blob_len * 8, 0};
     int64_t n = (int64_t)br_varint(&r);
+    if (r.err) return -1;
     if (n == 0) return 0;
     uint64_t prev = br_read(&r, 64);
+    if (r.err) return -1;
     out[0] = prev;
     int lead = 0, mean = 0;
     for (int64_t i = 1; i < n; i++) {
@@ -267,7 +288,7 @@ int64_t rts_decode_gorilla_f64(const uint8_t *blob, uint64_t *out) {
         prev ^= x;
         out[i] = prev;
     }
-    return n;
+    return r.err ? -1 : n;
 }
 
 /* ------------------------------------------------------------------ */

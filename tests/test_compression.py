@@ -232,3 +232,38 @@ def test_dispatch_uses_native_when_available():
     assert C._HAVE_NATIVE
     arr = np.arange(100, dtype=np.int64) * 7
     assert C.encode_dod_int64(arr) == C.encode_dod_int64_py(arr)
+
+
+@pytestmark_native
+def test_native_decode_rejects_truncated_and_accepts_bytearray():
+    arr = np.arange(64, dtype=np.int64) * 1000
+    blob = C.encode_dod_int64(arr)
+    # truncated blobs must error (the Python path raises IndexError from
+    # BitReader indexing; the native path bounds-checks and mirrors it)
+    for cut in (1, 6, len(blob) - 1):
+        with pytest.raises(IndexError):
+            native.decode_dod_int64(blob[:cut])
+        with pytest.raises(IndexError):
+            C.decode_dod_int64_py(blob[:cut])
+    g = C.encode_gorilla_f64(np.cumsum(np.ones(64)))
+    with pytest.raises(IndexError):
+        native.decode_gorilla_f64(g[: len(g) - 1])
+    # PySpark collect() hands BinaryType columns over as bytearray —
+    # both input types must decode
+    np.testing.assert_array_equal(native.decode_dod_int64(bytearray(blob)), arr)
+    np.testing.assert_array_equal(
+        native.decode_gorilla_f64(bytearray(g)), C.decode_gorilla_f64_py(g)
+    )
+
+
+@pytestmark_native
+def test_native_cache_dir_refuses_unsafe_ownership(tmp_path, monkeypatch):
+    import rust_timeseries_spark.native as N
+
+    unsafe = tmp_path / "spoofed"
+    unsafe.mkdir(mode=0o777)
+    import os as _os
+    _os.chmod(unsafe, 0o777)  # umask-proof: explicitly world-writable
+    monkeypatch.setenv("RTS_NATIVE_CACHE", str(unsafe))
+    with pytest.raises(OSError, match="unsafe native cache"):
+        N._cache_dir()

@@ -34,11 +34,27 @@ def stream_rollup(
     ts_col: str = "ts",
     value_col: str = "n_tok",
     watermark: str = "10 minutes",
+    glob: str | None = None,
 ) -> DataFrame:
-    """Streaming tumbling rollup with late-data watermark."""
+    """Streaming tumbling rollup with late-data watermark. The file
+    source requires a DIRECTORY: to stream a single file living among
+    others, pass its parent as ``input_path`` and the filename as
+    ``glob`` (mapped to ``pathGlobFilter``)."""
     keys = keys if keys is not None else ["source"]
     width = {"1m": "1 minute", "1h": "1 hour", "1d": "1 day"}[tier]
-    stream = spark.readStream.schema(schema).parquet(input_path)
+    reader = spark.readStream.schema(schema)
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    stream = reader.parquet(input_path)
+    if dict(stream.dtypes).get(ts_col) == "timestamp_ntz":
+        # watermarks require TIMESTAMP (LTZ). Convert TZ-independently:
+        # NTZ is UTC wall-clock by engine convention (rollup.epoch_seconds),
+        # so go NTZ → epoch seconds → LTZ instant (a long→timestamp cast
+        # is session-TZ-independent, unlike a direct NTZ→LTZ cast)
+        epoch = (
+            F.col(ts_col) - F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+        ).cast("long")
+        stream = stream.withColumn(ts_col, epoch.cast("timestamp"))
     v = F.col(value_col)
     return (
         stream.withWatermark(ts_col, watermark)

@@ -153,3 +153,17 @@ def test_fit_grouped_spark_path(spark, sim):
     for r in out.values():
         assert r["error"] is None and r["omega"] > 0
         assert r["unit"] == "seconds" and r["diurnal_adjusted"] is False
+
+
+def test_reference_module_paths_are_drop_in():
+    # the reference package exposes three submodules (rust_timeseries/
+    # __init__.py); code importing through those paths must port by
+    # changing only the top-level package name
+    from rust_timeseries_spark import duration_models, hac_estimation, statistical_tests
+
+    assert duration_models.__all__ == ["ACD", "ACDOptimOutcome", "ACDFittedParams"]
+    assert statistical_tests.__all__ == ["EscancianoLobato"]
+    assert hac_estimation.__all__ == ["estimate_hac_covariance_matrix"]
+    assert duration_models.ACD is ACD
+    from rust_timeseries_spark.duration_models import ACD as ACD2  # import-path smoke
+    assert ACD2 is ACD

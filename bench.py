@@ -52,6 +52,7 @@ def main() -> None:
         "rollup_1h_fold",
         "rollup_1d_fold",
         "rollup_grouping_sets",
+        "session_windows",
         "rolling_stats_3h",
         "gapfill_locf_1h",
         "gapfill_linear_1h",

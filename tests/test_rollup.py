@@ -155,3 +155,24 @@ def test_public_api_imports():
     for name in ("build_spark", "rollup_raw", "tier_cascade", "ewma", "acd_fit",
                  "escanciano_lobato", "hac_covariance", "TierStore", "RollupPipeline"):
         assert hasattr(rts, name), name
+
+
+def test_session_window_boundary_semantics(spark):
+    # pinned by probe (and relied on by the session_windows oracle):
+    # an event EXACTLY gap seconds after its predecessor still merges;
+    # one microsecond beyond the gap starts a new session
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            ("a", "2020-01-01 00:00:00"),
+            ("a", "2020-01-01 00:05:00"),        # exactly gap later → merges
+            ("a", "2020-01-01 00:10:00.000001"),  # gap + 1µs → new session
+        ],
+        "k string, ts string",
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"))
+    out = sorted(
+        (r["session_window"]["start"].isoformat(), r["count"])
+        for r in df.groupBy("k", F.session_window("ts", "5 minutes")).count().collect()
+    )
+    assert out == [("2020-01-01T00:00:00", 2), ("2020-01-01T00:10:00.000001", 1)]

@@ -53,6 +53,7 @@ def main() -> None:
         "rollup_1d_fold",
         "rollup_grouping_sets",
         "session_windows",
+        "sliding_windows_3h_1h",
         "rolling_stats_3h",
         "gapfill_locf_1h",
         "gapfill_linear_1h",

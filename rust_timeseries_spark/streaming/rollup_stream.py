@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.rollup import TIERS
+from ..operators.rollup import TIERS, epoch_seconds
 
 
 def stream_rollup(
@@ -48,12 +48,12 @@ def stream_rollup(
     stream = reader.parquet(input_path)
     if dict(stream.dtypes).get(ts_col) == "timestamp_ntz":
         # watermarks require TIMESTAMP (LTZ). Convert TZ-independently:
-        # NTZ is UTC wall-clock by engine convention (rollup.epoch_seconds),
-        # so go NTZ → epoch seconds → LTZ instant (a long→timestamp cast
-        # is session-TZ-independent, unlike a direct NTZ→LTZ cast)
-        epoch = (
-            F.col(ts_col) - F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
-        ).cast("long")
+        # NTZ is UTC wall-clock by engine convention, so go NTZ → epoch
+        # seconds (the batch path's own epoch_seconds — one shared
+        # definition keeps stream ≡ batch) → LTZ instant (a
+        # long→timestamp cast is session-TZ-independent, unlike a
+        # direct NTZ→LTZ cast)
+        epoch = epoch_seconds(F.col(ts_col), "timestamp_ntz")
         stream = stream.withColumn(ts_col, epoch.cast("timestamp"))
     v = F.col(value_col)
     return (

@@ -171,8 +171,14 @@ def test_session_window_boundary_semantics(spark):
         ],
         "k string, ts string",
     ).select("k", F.col("ts").cast("timestamp").alias("ts"))
-    out = sorted(
-        (r["session_window"]["start"].isoformat(), r["count"])
-        for r in df.groupBy("k", F.session_window("ts", "5 minutes")).count().collect()
+    # compare EPOCH seconds, not collected datetimes: collect() renders
+    # TimestampType in the driver process's local TZ, so wall-clock
+    # string assertions would fail on any non-UTC machine
+    agg = (
+        df.groupBy("k", F.session_window("ts", "5 minutes"))
+        .count()
+        .select(F.unix_timestamp("session_window.start").alias("start_es"), "count")
     )
-    assert out == [("2020-01-01T00:00:00", 2), ("2020-01-01T00:10:00.000001", 1)]
+    out = sorted((r["start_es"], r["count"]) for r in agg.collect())
+    base = 1577836800  # 2020-01-01T00:00:00Z
+    assert out == [(base, 2), (base + 600, 1)]

@@ -70,6 +70,7 @@ def main() -> None:
         "dedup_simhash",
         "lsh_jaccard_verify",
         "embedding_knn",
+        "embedding_knn_ivf",
         "text_quality",
         "image_features",
         "audio_features",

@@ -158,3 +158,128 @@ def cosine_topk_lsh(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
     return cands.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: k-means coarse quantizer → cell-bucketed probe
+# ---------------------------------------------------------------------------
+
+def train_ivf_centroids(
+    df: DataFrame,
+    n_cells: int,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_size: int = 8192,
+    n_iters: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """Spherical k-means coarse quantizer, trained on a BOUNDED
+    deterministic sample (the ``sample_size`` vectors with the smallest
+    ``xxhash64(id)`` — stable under repartitioning, unlike
+    ``df.sample``). The sample is the only driver-side collect; its
+    size is capped regardless of corpus size, so training cost is
+    constant at 100 TB. Centroids are L2-normalized every Lloyd
+    iteration (assignment by max dot ≡ max cosine); empty cells are
+    re-seeded deterministically from the sample. Returns a C-contiguous
+    ``(n_cells, dim)`` float64 array."""
+    rows = (
+        df.select(F.col(vec_col).alias("v"), F.xxhash64(F.col(id_col)).alias("h"))
+        .orderBy("h")
+        .limit(sample_size)
+        .collect()
+    )
+    if len(rows) < n_cells:
+        raise ValueError(f"need at least n_cells={n_cells} vectors, got {len(rows)}")
+    x = np.array([r["v"] for r in rows], dtype=np.float64)
+    x_unit = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-300)
+    rng = np.random.default_rng(seed)
+    cents = x_unit[rng.choice(len(x_unit), size=n_cells, replace=False)]
+    for _ in range(n_iters):
+        assign = np.argmax(x_unit @ cents.T, axis=1)
+        for c in range(n_cells):
+            members = x_unit[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+            else:  # deterministic re-seed for an empty cell
+                cents[c] = x_unit[int(rng.integers(len(x_unit)))]
+        cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-300)
+    return np.ascontiguousarray(cents)
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: np.ndarray,
+    nprobe: int = 1,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Add a ``cell`` column: each row repeated for its ``nprobe``
+    nearest centroids (by cosine). ``nprobe=1`` indexes a corpus (one
+    cell per vector); ``nprobe>1`` expands a query for probing. One
+    numpy GEMM per Arrow batch against the broadcast centroid matrix —
+    the same plan shape as the sign-LSH projection."""
+    cents = np.ascontiguousarray(centroids, dtype=np.float64)
+    npr = int(nprobe)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def _cells(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-300)
+        sims = mat @ cents.T  # (batch, n_cells)
+        # top-nprobe cells, deterministic: sort by (-sim, cell)
+        order = np.lexsort((np.arange(sims.shape[1])[None, :].repeat(len(mat), 0), -sims), axis=1)
+        top = order[:, :npr].astype(np.int32)
+        return pd.Series(list(top))
+
+    return (
+        df.withColumn("_cells", _cells(F.col(vec_col)))
+        .select("*", F.explode("_cells").alias("cell"))
+        .drop("_cells")
+    )
+
+
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    seed: int = 42,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors live in exactly one
+    k-means cell; each query probes its ``nprobe`` nearest cells; exact
+    cosine re-rank runs only inside probed cells. ``nprobe == n_cells``
+    degenerates to exact brute force (the oracle identity the driver
+    gate checks). At scale the corpus is written partitioned by
+    ``cell`` so a probe touches nprobe/n_cells of the data and only the
+    (small) query side shuffles."""
+    if dim is None:
+        dim = infer_dim(corpus, vec_col)
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            corpus, n_cells, dim, vec_col=vec_col, id_col=id_col, seed=seed
+        )
+    cb = ivf_assign(corpus, centroids, nprobe=1, vec_col=vec_col).select(
+        F.col(id_col).alias("corpus_id"),
+        F.col(vec_col).alias("cv"),
+        _norm_col(vec_col).alias("cn"),
+        "cell",
+    )
+    qb = ivf_assign(queries, centroids, nprobe=nprobe, vec_col=vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        _norm_col(vec_col).alias("qn"),
+        "cell",
+    )
+    cands = (
+        qb.join(cb, ["cell"])
+        .where(F.col("query_id") != F.col("corpus_id"))
+        .withColumn("cosine", _dot("qv", "cv") / (F.col("qn") * F.col("cn")))
+        .select("query_id", "corpus_id", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
+    return cands.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

@@ -525,3 +525,47 @@ def test_multimodal_video_features_real_decode(spark):
         small = frames[np.ix_(idx, multimodal.resize_grid(h, 8), multimodal.resize_grid(w, 8))]
         expect = small.astype(np.float64).mean(axis=(0, 1, 2))
         assert np.array_equal(np.array(r["feat"]), expect)
+
+
+def test_ivf_probe_all_equals_bruteforce(spark, sf_dir):
+    emb = _emb(spark, sf_dir).limit(300)
+    qs = emb.where("vec_id < 6")
+    bf = sorted(
+        (r["query_id"], r["rank"], r["corpus_id"], r["cosine"])
+        for r in similarity.cosine_topk_bruteforce(emb, qs, k=4).collect()
+    )
+    ivf = sorted(
+        (r["query_id"], r["rank"], r["corpus_id"], r["cosine"])
+        for r in similarity.cosine_topk_ivf(emb, qs, k=4, n_cells=6, nprobe=6).collect()
+    )
+    assert bf == ivf  # probing every cell degenerates to exact search
+
+
+def test_ivf_recall_on_clustered_vectors(spark):
+    # planted clusters: IVF with a small probe budget must recover the
+    # within-cluster neighbors (the realistic embedding geometry — the
+    # quantizer aligns cells with clusters)
+    rng = np.random.default_rng(5)
+    centers = rng.standard_normal((8, 24)) * 4.0
+    rows, vid = [], 0
+    for c in centers:
+        for _ in range(12):
+            rows.append((vid, [float(x) for x in c + 0.05 * rng.standard_normal(24)]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qs = df.where(F.col("vec_id") % 12 == 0)  # one query per cluster
+    bf = {(r["query_id"], r["corpus_id"]) for r in
+          similarity.cosine_topk_bruteforce(df, qs, k=5).collect()}
+    ivf = {(r["query_id"], r["corpus_id"]) for r in
+           similarity.cosine_topk_ivf(df, qs, k=5, n_cells=8, nprobe=2).collect()}
+    recall = len(bf & ivf) / len(bf)
+    assert recall >= 0.9, f"IVF recall {recall} below 0.9 on planted clusters"
+
+
+def test_ivf_centroids_deterministic(spark, sf_dir):
+    emb = _emb(spark, sf_dir).limit(200)
+    a = similarity.train_ivf_centroids(emb, n_cells=4, dim=similarity.infer_dim(emb))
+    b = similarity.train_ivf_centroids(emb, n_cells=4, dim=similarity.infer_dim(emb))
+    assert np.array_equal(a, b)
+    assert a.shape == (4, similarity.infer_dim(emb))
+    assert np.allclose(np.linalg.norm(a, axis=1), 1.0)

@@ -106,6 +106,8 @@ def random_hyperplane_buckets(
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def _buckets(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:  # empty Arrow batch: np.stack would raise
+            return pd.Series([], dtype=object)
         mat = np.stack(vecs.to_numpy()).astype(np.float64)
         bits = (mat @ planes) > 0  # (batch, n_bits*n_tables)
         bits = bits.reshape(len(mat), n_tables, n_bits)
@@ -223,6 +225,8 @@ def ivf_assign(
 
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def _cells(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:  # empty Arrow batch: np.stack would raise
+            return pd.Series([], dtype=object)
         mat = np.stack(vecs.to_numpy()).astype(np.float64)
         mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-300)
         sims = mat @ cents.T  # (batch, n_cells)

@@ -90,6 +90,28 @@ def main() -> None:
     checks.append(("embedding near-dup (ungrouped): no cartesian product",
                    "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan))
 
+    # 9. IVF probe: candidates come from a shuffled equi-join on `cell`
+    # (never a cartesian); the exact re-rank happens after the join
+    from rust_timeseries_spark.operators import similarity
+
+    dim = similarity.infer_dim(emb)
+    cents = similarity.train_ivf_centroids(emb, n_cells=4, dim=dim, sample_size=512)
+    plan = explain_str(
+        similarity.cosine_topk_ivf(emb, emb.where("vec_id < 5"), k=3,
+                                   n_cells=4, nprobe=2, dim=dim, centroids=cents)
+    )
+    checks.append(("ivf: cell equi-join, no cartesian",
+                   "CartesianProduct" not in plan
+                   and "BroadcastNestedLoopJoin" not in plan
+                   and ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+                        or "BroadcastHashJoin" in plan), plan))
+
+    # 10. session windows: single shuffle on (keys, session candidates)
+    plan = explain_str(rollup.session_rollup(ev, "5 minutes", ["event_type"],
+                                             ts_col="ts", value_col="value"))
+    checks.append(("session windows: no extra shuffle beyond the session agg",
+                   len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) <= 2, plan))
+
     failures = 0
     for name, ok, plan in checks:
         print(f"[{'ok' if ok else 'FAIL'}] {name}")

@@ -62,6 +62,7 @@ def main() -> None:
         "el_test",
         "hac_covariance",
         "acd_fit_durations",
+        "acd_loglik_weibull",
         "pricing_summary",
         "orders_dim_join",
         "dedup_exact",

@@ -63,6 +63,7 @@ def main() -> None:
         "hac_covariance",
         "acd_fit_durations",
         "acd_loglik_weibull",
+        "acd_loglik_gengamma",
         "pricing_summary",
         "orders_dim_join",
         "dedup_exact",

@@ -61,6 +61,7 @@ def main() -> None:
         "ewma_1h",
         "el_test",
         "hac_covariance",
+        "hac_covariance_parzen",
         "acd_fit_durations",
         "acd_loglik_weibull",
         "acd_loglik_gengamma",

@@ -62,6 +62,7 @@ def main() -> None:
         "el_test",
         "hac_covariance",
         "hac_covariance_parzen",
+        "hac_covariance_qs",
         "acd_fit_durations",
         "acd_loglik_weibull",
         "acd_loglik_gengamma",

@@ -283,7 +283,9 @@ int64_t rts_decode_gorilla_f64(const uint8_t *blob, int64_t blob_len, uint64_t *
             if (mean == 0) mean = 64;
         }
         int sh = 64 - lead - mean; /* >= 0 on any well-formed blob */
-        if (sh < 0) sh = 0;        /* avoid UB on malformed input */
+        if (sh < 0) return -1;     /* malformed header: fail loudly like
+                                      the Python BitReader, never emit
+                                      silently-corrupted values */
         uint64_t x = br_read(&r, mean) << sh;
         prev ^= x;
         out[i] = prev;

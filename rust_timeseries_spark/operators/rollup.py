@@ -144,8 +144,13 @@ def rollup_salted(
     Note: for plain hash aggregation Spark's partial combine already
     bounds reducer input, so this variant exists for (a) pipelines whose
     phase-1 output feeds per-key sequential kernels and (b) engines with
-    partial-agg disabled. Results are identical to ``rollup_raw`` except
-    float sum ordering (here all stored aggregates are integral).
+    partial-agg disabled. For integral value columns results are
+    bit-identical to ``rollup_raw``; for float columns the two-phase sum
+    reassociates additions, so last-ulp differences vs a single-phase
+    sum are possible — consumers comparing against a single-phase oracle
+    must round (the driver query ``rollup_1m_salted`` rounds to 2dp,
+    which absorbs this; see the %.5e decimal-tie tripwire in
+    tests/test_dataops.py for the general hazard class).
     """
     keys = keys if keys is not None else ["source"]
     salted = df.select(

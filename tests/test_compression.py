@@ -257,6 +257,27 @@ def test_native_decode_rejects_truncated_and_accepts_bytearray():
 
 
 @pytestmark_native
+def test_native_gorilla_rejects_malformed_window_header():
+    # ADVICE r3: a crafted blob whose new-window header claims
+    # lead + meaningful > 64 must ERROR on both paths — the native
+    # decoder used to clamp the shift to 0 and return silently
+    # corrupted values while Python raised
+    w = C.BitWriter()
+    w.write(0x02, 8)  # varint count = 2
+    w.write(np.float64(1.0).view(np.uint64).item(), 64)  # first value
+    w.write(1, 1)  # diff nonzero
+    w.write(1, 1)  # new window
+    w.write(31, 5)  # lead = 31
+    w.write(40, 6)  # mean = 40 → lead+mean = 71 > 64: malformed
+    w.write(0, 40)  # payload bits (present, so only the header is bad)
+    blob = w.getvalue()
+    with pytest.raises(ValueError):
+        C.decode_gorilla_f64_py(blob)
+    with pytest.raises(IndexError):
+        native.decode_gorilla_f64(blob)
+
+
+@pytestmark_native
 def test_native_cache_dir_refuses_unsafe_ownership(tmp_path, monkeypatch):
     import rust_timeseries_spark.native as N
 

@@ -486,6 +486,29 @@ def test_avi_codec_roundtrip():
         multimodal.encode_avi_raw(np.zeros((4, 4, 3), dtype=np.uint8))  # missing frame axis
 
 
+def test_avi_decoder_rejects_corrupt_containers():
+    # ADVICE r3: the RIFF walk must survive adversarial containers —
+    # deep LIST nesting may not hit Python's recursion limit, and
+    # oversized chunk-size fields must fail with the codec's own error
+    import pytest
+    import struct as _struct
+
+    depth = 50_000  # far beyond the default recursion limit
+    body = b""
+    for _ in range(depth):
+        body = b"LIST" + _struct.pack("<I", len(body) + 4) + b"xxxx" + body
+    deep = b"RIFF" + _struct.pack("<I", len(body) + 4) + b"AVI " + body
+    with pytest.raises(ValueError, match="no video frames"):
+        multimodal.decode_avi(deep)  # must not RecursionError
+
+    oversized = (
+        b"RIFF" + _struct.pack("<I", 16) + b"AVI "
+        + b"JUNK" + _struct.pack("<I", 2**31) + b"\x00" * 8
+    )
+    with pytest.raises(ValueError, match="corrupt AVI container"):
+        multimodal.decode_avi(oversized)
+
+
 def test_avi_codec_roundtrip_property():
     from hypothesis import given, settings
     from hypothesis import strategies as st

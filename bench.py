@@ -133,7 +133,10 @@ def main() -> None:
     t1m = rollup.tier_cascade(tokens, epoch=True)["1m"].cache()
     n_points = t1m.count()  # warm the cache so encode timing excludes the rollup
     t0 = time.perf_counter()
-    blocks = compress_ops.compress_tier(t1m, "1d")
+    # mapInArrow columnar encode path (round-4: byte-identical blocks,
+    # measured ~1.45x the grouped applyInPandas path on both the
+    # single-key and wide-keyset shapes)
+    blocks = compress_ops.compress_tier_arrow(t1m, "1d")
     agg = blocks.select(
         F.sum("enc_bytes").alias("enc"), F.sum("raw_bytes").alias("raw")
     ).collect()[0]

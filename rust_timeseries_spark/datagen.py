@@ -96,6 +96,44 @@ def with_event_time(df: DataFrame, seed: int = DEFAULT_SEED, horizon_seconds: in
     return df.withColumn("ts", F.timestamp_seconds(F.lit(EPOCH_UNIX) + off))
 
 
+def document_corpus(
+    spark: SparkSession,
+    n_docs: int,
+    words_per_doc: int = 40,
+    dup_every: int = 20,
+    vocab: int = 1_000_000,
+    seed: int = DEFAULT_SEED,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic synthetic document corpus with PLANTED near-dups —
+    entirely JVM-side expressions (no Python in the row path), so it
+    scales to 10⁷+ docs for dedup stress tests.
+
+    Doc ``i``: ``words_per_doc`` pseudo-words ``w<xxhash64(i,j,seed) mod
+    vocab>``. Every ``dup_every``-th doc instead copies doc ``i−1``'s
+    words with the first word replaced — a near-dup with shingle-set
+    Jaccard ≈ (W−k)/(W+k) (≈0.85 at W=40, k=3), i.e. above every LSH
+    threshold the engine uses. Planted near-dup pairs therefore number
+    ``⌊n_docs/dup_every⌋`` and candidate-pair counts must scale ~O(N),
+    never O(N²) — the collision-rate law the scale tests pin."""
+    base = spark.range(0, n_docs, 1, num_partitions or spark.sparkContext.defaultParallelism)
+    base = base.select(F.col("id").alias("doc_id"))
+    is_dup = F.pmod(F.col("doc_id"), F.lit(dup_every)) == (dup_every - 1)
+    src_id = F.when(is_dup, F.col("doc_id") - 1).otherwise(F.col("doc_id"))
+    words = F.transform(
+        F.sequence(F.lit(0), F.lit(words_per_doc - 1)),
+        lambda j: F.concat(
+            F.lit("w"),
+            F.pmod(F.xxhash64(src_id, j, F.lit(seed)), F.lit(vocab)).cast("string"),
+        ),
+    )
+    words = F.when(
+        is_dup,
+        F.concat(F.array(F.lit("dupmark")), F.slice(words, 2, words_per_doc - 1)),
+    ).otherwise(words)
+    return base.select("doc_id", F.array_join(words, " ").alias("text"))
+
+
 # ---------------------------------------------------------------------------
 # numpy fixtures (FIXTURES.md F-2/F-3/F-4) — small, driver-side by design
 # ---------------------------------------------------------------------------

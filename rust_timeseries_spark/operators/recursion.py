@@ -435,30 +435,39 @@ def ewma_distributed(
         )
 
     summaries = seg_df.groupBy(*keys, "_seg").applyInPandas(summarize, sum_schema)
-    rows = summaries.collect()
 
-    # ---- driver compose: exact boundary (ψ, x_prev) per segment ----------
-    by_key: dict[tuple, list] = {}
-    for r in rows:
-        by_key.setdefault(tuple(r[k] for k in keys), []).append(r)
-    seeds = []
-    for kv, segs in by_key.items():
-        segs.sort(key=lambda r: r["_seg"])
+    # ---- pass 1b: per-key seed compose — a second, TINY Spark stage ------
+    # (round-3 verdict item 7: no driver-side collect). Each group is one
+    # key's n_segments summary rows, so the sequential boundary walk is
+    # O(n_segments) inside an executor; a million keys no longer funnel
+    # through the driver. Identical IEEE op order to the former driver
+    # loop — bit-identity tests unchanged.
+    seeds_schema = T.StructType(
+        [*key_fields, T.StructField("_seg", T.IntegerType()),
+         T.StructField("_psi0", T.DoubleType()),
+         T.StructField("_x0", T.DoubleType())]
+    )
+
+    def compose(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_seg", kind="mergesort")
         psi = seed_expr
         x_prev = seed_expr
-        for r in segs:
-            seeds.append((*kv, r["_seg"], psi, x_prev))
+        psis, xs = [], []
+        for A, b, last_x in zip(pdf["A"], pdf["b"], pdf["last_x"]):
+            psis.append(psi)
+            xs.append(x_prev)
             # advance across this segment: boundary step uses x_prev,
             # then the composed map for the in-segment steps
             psi_after_first = b_c * psi + (om + a_c * x_prev)
-            psi = r["A"] * psi_after_first + r["b"]
-            x_prev = r["last_x"]
-    spark = df.sparkSession
-    seeds_df = spark.createDataFrame(
-        seeds, T.StructType([*key_fields, T.StructField("_seg", T.IntegerType()),
-                             T.StructField("_psi0", T.DoubleType()),
-                             T.StructField("_x0", T.DoubleType())])
-    )
+            psi = float(A) * psi_after_first + float(b)
+            x_prev = float(last_x)
+        out = pd.DataFrame({k: pdf[k].to_numpy() for k in keys})
+        out["_seg"] = pdf["_seg"].to_numpy()
+        out["_psi0"] = psis
+        out["_x0"] = xs
+        return out
+
+    seeds_df = summaries.groupBy(*keys).applyInPandas(compose, seeds_schema)
 
     # ---- pass 2: exact per-segment recursion from the seeds --------------
     out_schema = T.StructType(

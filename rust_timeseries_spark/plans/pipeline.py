@@ -40,9 +40,17 @@ class RollupPipeline:
         self.ewma_alpha = ewma_alpha
 
     def run_increment(self, full_raw: DataFrame, batch: DataFrame, run_id: str) -> dict[str, float]:
+        from pyspark.sql import Observation
+
         t0 = time.perf_counter()
-        n_batch = batch.count()
+        # single-action metrics (round-3 verdict item 9): the batch row
+        # count rides the merge job's own scan of ``batch`` via
+        # observe() — one job fewer per increment than a separate
+        # count() action
+        obs = Observation()
+        batch = batch.observe(obs, F.count(F.lit(1)).alias("n_rows"))
         days = self.store.merge_increment(full_raw, batch)
+        n_batch = int(obs.get["n_rows"])
         t1h = self.store.read_tier("1h")
         day_rows = [
             (d, n)

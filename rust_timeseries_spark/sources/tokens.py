@@ -32,13 +32,18 @@ def read_tokens(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFra
     rollups never touch ``tokens``, so Catalyst prunes it out of the
     parquet/Iceberg scan (verify via .explain ReadSchema).
 
-    UNTESTED BRANCH: ``fmt="iceberg"`` cannot be exercised in this
-    sandbox (no Iceberg runtime jar / catalog available); it is the
-    standard one-line DataSourceV2 read and every downstream operator is
-    format-agnostic, but treat it as unverified until run against a real
-    Iceberg catalog. The parquet path (and the TierStore dynamic-
-    partition-overwrite MERGE stand-in, plans/tiers.py) is what the test
-    suite pins."""
+    The ``fmt="iceberg"`` branch is exercised by
+    tests/test_rollup.py::test_read_tokens_iceberg_branch_executes via a
+    registered Python Data Source named ``iceberg`` (this sandbox has no
+    Iceberg runtime jar): the DataSourceV2 format lookup, the
+    ``load(path)`` option plumbing, and the downstream schema/invariant
+    contract all run for real; only the storage behind the name is a
+    stand-in. Against a real catalog the same line resolves to
+    iceberg-spark-runtime unchanged — end-to-end catalog behavior
+    (snapshots, hidden partitioning) still needs a cluster to verify.
+    The parquet path (and the TierStore dynamic-partition-overwrite
+    MERGE stand-in, plans/tiers.py) is what the rest of the suite
+    pins."""
     if fmt == "iceberg":
         return spark.read.format("iceberg").load(path)
     return spark.read.parquet(path)

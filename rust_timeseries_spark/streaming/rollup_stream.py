@@ -35,16 +35,21 @@ def stream_rollup(
     value_col: str = "n_tok",
     watermark: str = "10 minutes",
     glob: str | None = None,
+    reader_options: dict[str, str] | None = None,
 ) -> DataFrame:
     """Streaming tumbling rollup with late-data watermark. The file
     source requires a DIRECTORY: to stream a single file living among
     others, pass its parent as ``input_path`` and the filename as
-    ``glob`` (mapped to ``pathGlobFilter``)."""
+    ``glob`` (mapped to ``pathGlobFilter``). ``reader_options`` passes
+    extra file-source options (e.g. ``maxFilesPerTrigger`` to force a
+    multi-micro-batch replay of a backlog)."""
     keys = keys if keys is not None else ["source"]
     width = {"1m": "1 minute", "1h": "1 hour", "1d": "1 day"}[tier]
     reader = spark.readStream.schema(schema)
     if glob is not None:
         reader = reader.option("pathGlobFilter", glob)
+    for k, v in (reader_options or {}).items():
+        reader = reader.option(k, v)
     stream = reader.parquet(input_path)
     if dict(stream.dtypes).get(ts_col) == "timestamp_ntz":
         # watermarks require TIMESTAMP (LTZ). Convert TZ-independently:

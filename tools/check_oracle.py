@@ -85,25 +85,30 @@ def main() -> int:
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     frozen = getattr(entrymod, "FROZEN_ORACLE_QUERIES", frozenset())
+    # frozen oracles are per-scale-factor (oracle_frozen.SF_SQL); select
+    # the entry matching this sf dir — compare SCALE FACTORS, not path
+    # spellings, so a relative path or symlink still resolves
+    frozen_sqls: dict[str, str] = {}
     try:
         import oracle_frozen
 
-        # compare SCALE FACTORS, not path spellings — a relative path or
-        # symlink to the right sf directory must still run the check
-        frozen_sf = float(oracle_frozen.SF)
+        this_sf_key = str(float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]))
+        if hasattr(oracle_frozen, "SF_SQL"):
+            frozen_sqls = oracle_frozen.SF_SQL.get(this_sf_key, {})
+        elif float(oracle_frozen.SF) == float(this_sf_key):
+            frozen_sqls = {q: oracles[q] for q in frozen if q in oracles}
     except (ImportError, ValueError):
-        frozen_sf = None
-    try:
-        this_sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
-    except ValueError:
-        this_sf = None
+        pass
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
             continue
-        if name in frozen and (this_sf is None or this_sf != frozen_sf):
-            print(f"[skip] {name}: frozen oracle valid only at sf{frozen_sf}")
-            continue
+        if name in frozen:
+            if name not in frozen_sqls:
+                print(f"[skip] {name}: no frozen oracle generated for this sf "
+                      "(run tools/gen_frozen_oracles.py)")
+                continue
+            oracles = {**oracles, name: frozen_sqls[name]}
         sf_limits = getattr(entrymod, "ORACLE_SF_LIMITS", {})
         try:
             sf_val = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])

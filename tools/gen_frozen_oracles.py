@@ -1,29 +1,33 @@
-"""Generate frozen VALUES oracles for the engine-hash-native dedup
-queries (``dedup_minhash_lsh``, ``dedup_simhash``).
+"""Generate frozen VALUES oracles for the queries whose math DuckDB
+cannot recompute live: the engine-hash-native dedup trio
+(``dedup_minhash_lsh``, ``dedup_simhash``, ``lsh_jaccard_verify`` —
+Spark xxhash64) and the fixed-θ covariance pipeline
+(``acd_covariance_durations`` — FD Hessian / eigen pinv / sandwich /
+delta method, no SQL equivalent).  For each requested scale factor this
+tool:
 
-DuckDB cannot recompute Spark's xxhash64, so these two queries cannot
-have a live SQL oracle.  Instead this tool:
-
-1. INDEPENDENTLY recomputes both pipelines in pure Python over the
-   parquet input — token/shingle hashing via the pure-Python XXH64
-   reimplementation (rust_timeseries_spark/functions/xxh64.py, itself
-   pinned against Spark's ``F.xxhash64`` by pytest), MinHash banding /
-   SimHash bit-votes / Hamming distances in numpy.  No Spark, no engine
-   code in the value path — this is a second implementation, not a dump
-   of the first one's output.
+1. INDEPENDENTLY recomputes each pipeline over the parquet input —
+   dedup in pure Python (token/shingle hashing via the pure-Python
+   XXH64 reimplementation rust_timeseries_spark/functions/xxh64.py,
+   itself pinned against Spark's ``F.xxhash64`` by pytest; MinHash
+   banding / SimHash bit-votes / Hamming in plain int arithmetic),
+   covariance via tools/acd_cov_recompute.py (standalone numpy, zero
+   engine imports).  No engine code in any value path — these are
+   second implementations, not dumps of the first one's output.
 2. Runs the engine's actual driver queries on Spark and asserts the two
    result sets are IDENTICAL (any mismatch aborts generation).
 3. Freezes the verified rows as DuckDB ``VALUES`` literals into
-   ``oracle_frozen.py`` at the repo root, which ``__spark_entry__.py``
-   serves from ``oracle_sql()``.
+   ``oracle_frozen.py`` at the repo root, keyed BY SCALE FACTOR.
+   ``__spark_entry__.oracle_sql()`` serves the driver-gate scale
+   (sf0.01); ``tools/check_oracle.py`` selects the entry matching its
+   sf dir, so the sf0.001/sf0.1 sweeps check these queries too instead
+   of skipping them (round-3 verdict item 2).
 
 The testdata is deterministic (seed 42, TESTDATA.md), so the freeze is
-stable across driver runs at the same scale factor.  The frozen SQL is
-valid ONLY at the scale factor it was generated for (default sf0.01 —
-the driver's correctness-gate scale); ``tools/check_oracle.py`` skips
-frozen oracles at other scale factors.
+stable across driver runs at the same scale factor.
 
-Usage: python tools/gen_frozen_oracles.py [sf_dir]
+Usage: python tools/gen_frozen_oracles.py [sf_dir ...]
+       (default: /root/testdata/sf0.001 sf0.01 sf0.1)
 """
 
 from __future__ import annotations
@@ -34,6 +38,7 @@ import sys
 import duckdb
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))  # tools/ (acd_cov_recompute)
 
 from rust_timeseries_spark.functions.xxh64 import spark_xxhash64  # noqa: E402
 
@@ -168,26 +173,37 @@ def to_values_sql(rows: list[tuple], cols: list[str], types: list[str]) -> str:
     return f"SELECT {casts} FROM (VALUES\n  {body}\n) AS t({', '.join(cols)})"
 
 
-def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    con = duckdb.connect()
+#: fixed-θ covariance parameters — must match __spark_entry__._COV_THETA
+#: / _COV_BANDWIDTH exactly (asserted in main())
+COV_THETA = (-1.5, -0.5, -0.3)
+COV_BANDWIDTH = 8
+
+DRIVER_SF = "0.01"  # the driver's correctness-gate scale
+
+
+def _sf_key(sf_dir: str) -> str:
+    """Float-normalized sf string ('0.01'), path-spelling-independent."""
+    return str(float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]))
+
+
+def gen_one_sf(spark, entrymod, con, sf_dir: str) -> dict[str, str] | None:
+    """Recompute + verify + render the four frozen oracles for one sf
+    dir. Returns {query: VALUES sql} or None on mismatch."""
+    import acd_cov_recompute as COV
+
     docs = con.execute(
         f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet') ORDER BY doc_id"
     ).fetchall()
-    print(f"{len(docs)} documents from {sf_dir}")
+    print(f"--- {sf_dir}: {len(docs)} documents")
 
     mh = minhash_pairs_py(docs)
     sh = simhash_pairs_py(docs)
     lv = lsh_verified_pairs_py(docs)
+    cov_rows = COV.covariance_rows(con, sf_dir, COV_THETA, COV_BANDWIDTH)
     print(f"independent recompute: minhash {len(mh)}, simhash {len(sh)}, "
-          f"lsh-verified {len(lv)} pairs")
+          f"lsh-verified {len(lv)} pairs, cov {len(cov_rows)} rows")
 
     # verify against the engine before freezing
-    import __spark_entry__ as entrymod
-    from rust_timeseries_spark.session import build_spark
-
-    spark = build_spark(app_name="gen-frozen-oracles", shuffle_partitions=8)
     qs = entrymod.queries()
     got_mh = {
         (r["id_a"], r["id_b"]): r["est_jaccard"]
@@ -201,55 +217,119 @@ def main() -> int:
         (r["id_a"], r["id_b"]): (r["inter"], r["union_sz"], r["jaccard"])
         for r in qs["lsh_jaccard_verify"](spark, sf_dir).collect()
     }
-    spark.stop()
+    got_cov = sorted(
+        (r["key"], r["i"], r["j"], r["cov_classical"], r["cov_robust"])
+        for r in qs["acd_covariance_durations"](spark, sf_dir).collect()
+    )
     if got_mh != mh:
         extra, missing = set(got_mh) - set(mh), set(mh) - set(got_mh)
         print(f"MINHASH MISMATCH: engine-only {sorted(extra)[:5]}, recompute-only {sorted(missing)[:5]}")
         vals = {k: (got_mh.get(k), mh.get(k)) for k in list(set(got_mh) | set(mh))[:5] if got_mh.get(k) != mh.get(k)}
         print("value diffs:", vals)
-        return 1
+        return None
     if got_sh != sh:
         extra, missing = set(got_sh) - set(sh), set(sh) - set(got_sh)
         print(f"SIMHASH MISMATCH: engine-only {sorted(extra)[:5]}, recompute-only {sorted(missing)[:5]}")
-        return 1
+        return None
     if got_lv != lv:
         extra, missing = set(got_lv) - set(lv), set(lv) - set(got_lv)
         print(f"LSH-VERIFY MISMATCH: engine-only {sorted(extra)[:5]}, recompute-only {sorted(missing)[:5]}")
         vals = {k: (got_lv.get(k), lv.get(k)) for k in list(set(got_lv) | set(lv))[:5]
                 if got_lv.get(k) != lv.get(k)}
         print("value diffs:", vals)
-        return 1
-    print("engine output == independent recompute — freezing")
+        return None
+    if got_cov != cov_rows:
+        diffs = [(g, e) for g, e in zip(got_cov, cov_rows) if g != e]
+        print(f"COVARIANCE MISMATCH: {len(diffs)} rows differ; first: {diffs[:3]}")
+        return None
+    print("engine output == independent recompute — rendering")
 
     mh_rows = sorted((a, b, est) for (a, b), est in mh.items())
     sh_rows = sorted((a, b, h) for (a, b), h in sh.items())
     lv_rows = sorted((a, b, i, u, j) for (a, b), (i, u, j) in lv.items())
-    mh_sql = to_values_sql(mh_rows, ["id_a", "id_b", "est_jaccard"], ["BIGINT", "BIGINT", "DOUBLE"])
-    sh_sql = to_values_sql(sh_rows, ["id_a", "id_b", "hamming"], ["BIGINT", "BIGINT", "INTEGER"])
-    lv_sql = to_values_sql(
-        lv_rows, ["id_a", "id_b", "inter", "union_sz", "jaccard"],
-        ["BIGINT", "BIGINT", "INTEGER", "INTEGER", "DOUBLE"],
-    )
+    return {
+        "dedup_minhash_lsh": to_values_sql(
+            mh_rows, ["id_a", "id_b", "est_jaccard"], ["BIGINT", "BIGINT", "DOUBLE"]
+        ),
+        "dedup_simhash": to_values_sql(
+            sh_rows, ["id_a", "id_b", "hamming"], ["BIGINT", "BIGINT", "INTEGER"]
+        ),
+        "lsh_jaccard_verify": to_values_sql(
+            lv_rows, ["id_a", "id_b", "inter", "union_sz", "jaccard"],
+            ["BIGINT", "BIGINT", "INTEGER", "INTEGER", "DOUBLE"],
+        ),
+        "acd_covariance_durations": to_values_sql(
+            cov_rows, ["key", "i", "j", "cov_classical", "cov_robust"],
+            ["VARCHAR", "INTEGER", "INTEGER", "VARCHAR", "VARCHAR"],
+        ),
+    }
 
-    out_path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "oracle_frozen.py")
+
+def main() -> int:
+    sf_dirs = sys.argv[1:] or [
+        "/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"
+    ]
+    con = duckdb.connect()
+
+    import __spark_entry__ as entrymod
+    from rust_timeseries_spark.session import build_spark
+
+    # the frozen oracle is only valid for the parameters the driver
+    # query actually uses — fail loudly if they drift
+    assert tuple(entrymod._COV_THETA) == COV_THETA, "COV_THETA drifted"
+    assert entrymod._COV_BANDWIDTH == COV_BANDWIDTH, "COV_BANDWIDTH drifted"
+    mh_drv = dict(
+        shingle_k=3, num_perm=32, bands=8, rows_per_band=4, threshold=0.5, seed=42
+    )
+    assert MINHASH == mh_drv, "MINHASH params drifted"
+
+    spark = build_spark(app_name="gen-frozen-oracles", shuffle_partitions=8)
+    sf_sql: dict[str, dict[str, str]] = {}
+    try:
+        for sf_dir in sf_dirs:
+            out = gen_one_sf(spark, entrymod, con, sf_dir)
+            if out is None:
+                return 1
+            sf_sql[_sf_key(sf_dir)] = out
+    finally:
+        spark.stop()
+
+    if DRIVER_SF not in sf_sql:
+        print(f"WARNING: driver scale sf{DRIVER_SF} not among generated "
+              f"{sorted(sf_sql)} — oracle_sql() aliases will be missing")
+        return 1
+
+    out_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "oracle_frozen.py"
+    )
     with open(out_path, "w") as f:
         f.write(
-            '"""FROZEN oracles for engine-hash-native dedup queries.\n\n'
+            '"""FROZEN oracles for queries DuckDB cannot recompute live\n'
+            "(engine-hash dedup trio + fixed-theta covariance pipeline).\n\n"
             "GENERATED by tools/gen_frozen_oracles.py — do not edit by hand.\n"
-            "Each VALUES literal was produced by an independent pure-Python\n"
-            "recompute of the pipeline (see that tool's docstring) and verified\n"
-            "identical to the engine output before freezing.  Valid only at the\n"
-            f"scale factor below (deterministic testdata, seed 42).\n"
-            '"""\n\n'
-            f"SF = {sf!r}\n"
-            f"SF_DIR = {sf_dir!r}\n"
-            f"N_DOCS = {len(docs)}\n\n"
-            f"MINHASH_LSH_SQL = '''\n{mh_sql}\n'''\n\n"
-            f"SIMHASH_SQL = '''\n{sh_sql}\n'''\n\n"
-            f"LSH_VERIFIED_SQL = '''\n{lv_sql}\n'''\n"
+            "Each VALUES literal was produced by an INDEPENDENT recompute of\n"
+            "the pipeline (see that tool's docstring) and verified identical\n"
+            "to the engine output before freezing.  Keyed by scale factor\n"
+            "(deterministic testdata, seed 42); oracle_sql() serves the\n"
+            'driver-gate scale, check_oracle.py selects by sf dir.\n"""\n\n'
+            f"DRIVER_SF = {DRIVER_SF!r}\n\n"
+            "SF_SQL = {\n"
         )
-    print(f"wrote {out_path}: minhash {len(mh_rows)}, simhash {len(sh_rows)}, "
-          f"lsh-verified {len(lv_rows)} rows")
+        for sf in sorted(sf_sql, key=float):
+            f.write(f"    {sf!r}: {{\n")
+            for name, sql in sf_sql[sf].items():
+                f.write(f"        {name!r}: '''\n{sql}\n''',\n")
+            f.write("    },\n")
+        f.write("}\n\n")
+        f.write(
+            "# legacy driver-scale aliases\n"
+            "SF = DRIVER_SF\n"
+            "MINHASH_LSH_SQL = SF_SQL[DRIVER_SF]['dedup_minhash_lsh']\n"
+            "SIMHASH_SQL = SF_SQL[DRIVER_SF]['dedup_simhash']\n"
+            "LSH_VERIFIED_SQL = SF_SQL[DRIVER_SF]['lsh_jaccard_verify']\n"
+            "ACD_COVARIANCE_SQL = SF_SQL[DRIVER_SF]['acd_covariance_durations']\n"
+        )
+    print(f"wrote {out_path}: {sorted(sf_sql)} × {list(next(iter(sf_sql.values())))}")
     return 0
 
 

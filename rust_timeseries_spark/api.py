@@ -338,6 +338,34 @@ class EscancianoLobato:
         self.pvalue = float(out["p_value"])
 
 
+class LjungBox:
+    """Ljung–Box residual diagnostic + excess dispersion — the first
+    reference-roadmap extension landed ('further goodness-of-fit and
+    residual tests under ``statistical_tests``', reference
+    README.md:406-409), surfaced with the same result-object pattern as
+    ``EscancianoLobato``: construct from a residual series, read
+    ``statistic`` / ``pvalue`` / ``excess_dispersion``.
+
+    Pass standardized ACD residuals ε̂_t = x_t/ψ̂_t (e.g. from a fitted
+    ``ACD``); under correct specification they are iid, so the Q
+    statistic is asymptotically χ²(m) and excess dispersion
+    √(n/8)·(σ̂²−1) is N(0,1) for the exponential law."""
+
+    def __init__(self, raw_data, m: int = 4) -> None:
+        data = np.asarray(raw_data, dtype=np.float64)
+        if data.size == 0:
+            raise ValueError("data must not be empty")
+        if np.isnan(data).any():
+            raise ValueError("data must not contain NaN values")
+        from .stats import gof as _gof
+
+        out = _gof.ljung_box_np(data, m=m)
+        self.m = int(m)
+        self.statistic = float(out["stat"])
+        self.pvalue = float(out["p_value"])
+        self.excess_dispersion = float(out["excess_dispersion"])
+
+
 def estimate_hac_covariance_matrix(
     raw_data,
     kernel: str | None = None,

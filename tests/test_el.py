@@ -79,3 +79,83 @@ def test_el_spark_error_rows(spark):
     rows = {r["key"]: r for r in el.escanciano_lobato(df, ["key"]).collect()}
     assert rows["bad"]["error"] is not None and "ZeroTau" in rows["bad"]["error"]
     assert rows["good"]["error"] is None
+
+
+# --- GoF: Ljung–Box + excess dispersion (stats/gof.py) ------------------------
+
+def test_ljung_box_np_iid_vs_autocorrelated():
+    from rust_timeseries_spark.stats import gof
+
+    rng = np.random.default_rng(7)
+    iid = rng.exponential(size=4000)
+    out = gof.ljung_box_np(iid, m=4)
+    # iid → Q small, p not tiny; unit-mean exponential → dispersion ~ 0
+    assert out["p_value"] > 1e-3
+    assert abs(out["excess_dispersion"]) < 5.0
+    ar = np.empty(4000)
+    ar[0] = iid[0]
+    for t in range(1, 4000):
+        ar[t] = 0.6 * ar[t - 1] + 0.4 * iid[t]
+    out_ar = gof.ljung_box_np(ar, m=4)
+    assert out_ar["stat"] > 100.0 and out_ar["p_value"] < 1e-10
+
+    # χ²(4) SF closed form vs the series definition at a known point:
+    # SF(x;4) = e^{-x/2}(1 + x/2); SF(9.488;4) ≈ 0.05 (the 95% critical value)
+    sf = math.exp(-9.488 / 2) * (1 + 9.488 / 2)
+    assert abs(sf - 0.05) < 1e-3
+
+    import pytest
+    with pytest.raises(ValueError):
+        gof.ljung_box_np(iid, m=3)  # odd m has no elementary chi2 SF
+    with pytest.raises(ValueError):
+        gof.ljung_box_np(iid[:3], m=4)
+
+
+def test_ljung_box_spark_matches_numpy(spark):
+    from rust_timeseries_spark.stats import gof
+
+    arrays = {f"k{i}": datagen.normal_residuals(300, seed=99 + i) + 2.0 for i in range(4)}
+    df = datagen.series_df(spark, arrays)
+    got = {r["key"]: r for r in
+           gof.ljung_box_excess_dispersion(df.withColumnRenamed("v", "eps"), ["key"], m=4).collect()}
+    for k, x in arrays.items():
+        exp = gof.ljung_box_np(x, m=4)
+        assert got[k]["n"] == exp["n"]
+        # numpy pairwise sums vs Spark unordered agg: equal to float tolerance
+        np.testing.assert_allclose(got[k]["lb_stat"], exp["stat"], rtol=1e-9)
+        np.testing.assert_allclose(got[k]["lb_pvalue"], exp["p_value"], rtol=1e-9)
+        np.testing.assert_allclose(
+            got[k]["excess_dispersion"], exp["excess_dispersion"], rtol=1e-9
+        )
+
+
+def test_ljung_box_api_class():
+    from rust_timeseries_spark.statistical_tests import LjungBox
+
+    rng = np.random.default_rng(11)
+    r = LjungBox(rng.exponential(size=2000), m=4)
+    assert r.m == 4 and r.statistic >= 0.0 and 0.0 <= r.pvalue <= 1.0
+    import pytest
+    with pytest.raises(ValueError):
+        LjungBox([])
+    with pytest.raises(ValueError):
+        LjungBox([1.0, float("nan"), 2.0])
+
+
+def test_acd_residuals_match_kernel(spark):
+    from rust_timeseries_spark.stats import gof
+    from rust_timeseries_spark.stats.acd import AcdSpec
+    from rust_timeseries_spark.operators.recursion import psi_recursion_np
+
+    arrays = {"a": datagen.noisy_durations(200, seed=5), "b": datagen.noisy_durations(150, seed=6)}
+    df = datagen.series_df(spark, arrays)
+    got = {}
+    for r in gof.acd_residuals(df, ["key"], AcdSpec(p=1, q=1), 0.2, [0.2], [0.3]).collect():
+        got.setdefault(r["key"], []).append((r["t"], r["eps"]))
+    for k, x in arrays.items():
+        uncond = 0.2 / (1.0 - 0.2 - 0.3)
+        psi = psi_recursion_np(x, 0.2, np.array([0.2]), np.array([0.3]),
+                               np.array([uncond]), np.array([uncond]))
+        exp = x / psi
+        eps = np.array([e for _, e in sorted(got[k])])
+        np.testing.assert_array_equal(eps, exp)  # bit-identical

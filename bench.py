@@ -66,6 +66,9 @@ def main() -> None:
         "acd_fit_durations",
         "acd_loglik_weibull",
         "acd_loglik_gengamma",
+        "acd_covariance_durations",
+        "acd_gof_residuals",
+        "streaming_rollup_late",
         "pricing_summary",
         "orders_dim_join",
         "dedup_exact",

@@ -200,12 +200,22 @@ def distinct_docs(df: DataFrame, tier: str = "1h", ts_col: str = "ts") -> DataFr
     )
 
 
-def top_k_sources(tier_df: DataFrame, k: int = 5) -> DataFrame:
+def top_k_sources(tier_df: DataFrame, k: int = 5, round_to: int | None = None) -> DataFrame:
     """Top-k sources by total tokens (TakeOrderedAndProject — no full
-    sort; per-partition top-k then driver merge)."""
+    sort; per-partition top-k then driver merge).
+
+    ``round_to`` rounds totals BEFORE ranking: a float sum's last-ulp
+    depends on reduction order, so two engines (or two runs) can rank
+    effectively-tied sources differently on the raw sum — rounding
+    collapses such ties so the ``source`` tie-break decides
+    deterministically (caught by the sf1 sweep, where replicated keys
+    have exactly-tied totals)."""
+    total = F.sum("tok_sum")
+    if round_to is not None:
+        total = F.round(total, round_to)
     return (
         tier_df.groupBy("source")
-        .agg(F.sum("tok_sum").alias("total_tok"))
+        .agg(total.alias("total_tok"))
         .orderBy(F.desc("total_tok"), F.asc("source"))
         .limit(k)
     )

@@ -186,10 +186,32 @@ def _sf_key(sf_dir: str) -> str:
     return str(float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]))
 
 
-def gen_one_sf(spark, entrymod, con, sf_dir: str) -> dict[str, str] | None:
-    """Recompute + verify + render the four frozen oracles for one sf
-    dir. Returns {query: VALUES sql} or None on mismatch."""
+def gen_one_sf(spark, entrymod, con, sf_dir: str, cov_only: bool = False) -> dict[str, str] | None:
+    """Recompute + verify + render the frozen oracles for one sf dir.
+    Returns {query: VALUES sql} or None on mismatch. ``cov_only`` skips
+    the dedup trio — the pure-Python recompute is quadratic-ish in
+    corpus size (all-pairs SimHash), impractical at sf1's 50 k docs,
+    while the covariance recompute stays cheap at any sf."""
     import acd_cov_recompute as COV
+
+    qs = entrymod.queries()
+    cov_rows = COV.covariance_rows(con, sf_dir, COV_THETA, COV_BANDWIDTH)
+    print(f"--- {sf_dir}: cov recompute {len(cov_rows)} rows")
+    got_cov = sorted(
+        (r["key"], r["i"], r["j"], r["cov_classical"], r["cov_robust"])
+        for r in qs["acd_covariance_durations"](spark, sf_dir).collect()
+    )
+    if got_cov != cov_rows:
+        diffs = [(g, e) for g, e in zip(got_cov, cov_rows) if g != e]
+        print(f"COVARIANCE MISMATCH: {len(diffs)} rows differ; first: {diffs[:3]}")
+        return None
+    cov_sql = to_values_sql(
+        cov_rows, ["key", "i", "j", "cov_classical", "cov_robust"],
+        ["VARCHAR", "INTEGER", "INTEGER", "VARCHAR", "VARCHAR"],
+    )
+    if cov_only:
+        print("engine output == independent recompute (cov only)")
+        return {"acd_covariance_durations": cov_sql}
 
     docs = con.execute(
         f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet') ORDER BY doc_id"
@@ -199,12 +221,10 @@ def gen_one_sf(spark, entrymod, con, sf_dir: str) -> dict[str, str] | None:
     mh = minhash_pairs_py(docs)
     sh = simhash_pairs_py(docs)
     lv = lsh_verified_pairs_py(docs)
-    cov_rows = COV.covariance_rows(con, sf_dir, COV_THETA, COV_BANDWIDTH)
     print(f"independent recompute: minhash {len(mh)}, simhash {len(sh)}, "
-          f"lsh-verified {len(lv)} pairs, cov {len(cov_rows)} rows")
+          f"lsh-verified {len(lv)} pairs")
 
     # verify against the engine before freezing
-    qs = entrymod.queries()
     got_mh = {
         (r["id_a"], r["id_b"]): r["est_jaccard"]
         for r in qs["dedup_minhash_lsh"](spark, sf_dir).collect()
@@ -217,10 +237,6 @@ def gen_one_sf(spark, entrymod, con, sf_dir: str) -> dict[str, str] | None:
         (r["id_a"], r["id_b"]): (r["inter"], r["union_sz"], r["jaccard"])
         for r in qs["lsh_jaccard_verify"](spark, sf_dir).collect()
     }
-    got_cov = sorted(
-        (r["key"], r["i"], r["j"], r["cov_classical"], r["cov_robust"])
-        for r in qs["acd_covariance_durations"](spark, sf_dir).collect()
-    )
     if got_mh != mh:
         extra, missing = set(got_mh) - set(mh), set(mh) - set(got_mh)
         print(f"MINHASH MISMATCH: engine-only {sorted(extra)[:5]}, recompute-only {sorted(missing)[:5]}")
@@ -238,10 +254,6 @@ def gen_one_sf(spark, entrymod, con, sf_dir: str) -> dict[str, str] | None:
                 if got_lv.get(k) != lv.get(k)}
         print("value diffs:", vals)
         return None
-    if got_cov != cov_rows:
-        diffs = [(g, e) for g, e in zip(got_cov, cov_rows) if g != e]
-        print(f"COVARIANCE MISMATCH: {len(diffs)} rows differ; first: {diffs[:3]}")
-        return None
     print("engine output == independent recompute — rendering")
 
     mh_rows = sorted((a, b, est) for (a, b), est in mh.items())
@@ -258,15 +270,15 @@ def gen_one_sf(spark, entrymod, con, sf_dir: str) -> dict[str, str] | None:
             lv_rows, ["id_a", "id_b", "inter", "union_sz", "jaccard"],
             ["BIGINT", "BIGINT", "INTEGER", "INTEGER", "DOUBLE"],
         ),
-        "acd_covariance_durations": to_values_sql(
-            cov_rows, ["key", "i", "j", "cov_classical", "cov_robust"],
-            ["VARCHAR", "INTEGER", "INTEGER", "VARCHAR", "VARCHAR"],
-        ),
+        "acd_covariance_durations": cov_sql,
     }
 
 
 def main() -> int:
-    sf_dirs = sys.argv[1:] or [
+    args = sys.argv[1:]
+    cov_only = "--cov-only" in args
+    args = [a for a in args if a != "--cov-only"]
+    sf_dirs = args or [
         "/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"
     ]
     con = duckdb.connect()
@@ -284,13 +296,22 @@ def main() -> int:
     assert MINHASH == mh_drv, "MINHASH params drifted"
 
     spark = build_spark(app_name="gen-frozen-oracles", shuffle_partitions=8)
+    # merge over any existing freeze so incremental regeneration (e.g.
+    # --cov-only for a scaledata sf) keeps the other entries intact
     sf_sql: dict[str, dict[str, str]] = {}
     try:
+        import oracle_frozen as _prev
+
+        if hasattr(_prev, "SF_SQL"):
+            sf_sql = {k: dict(v) for k, v in _prev.SF_SQL.items()}
+    except ImportError:
+        pass
+    try:
         for sf_dir in sf_dirs:
-            out = gen_one_sf(spark, entrymod, con, sf_dir)
+            out = gen_one_sf(spark, entrymod, con, sf_dir, cov_only=cov_only)
             if out is None:
                 return 1
-            sf_sql[_sf_key(sf_dir)] = out
+            sf_sql.setdefault(_sf_key(sf_dir), {}).update(out)
     finally:
         spark.stop()
 

@@ -112,6 +112,17 @@ def main() -> None:
     checks.append(("session windows: no extra shuffle beyond the session agg",
                    len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) <= 2, plan))
 
+    # 11. mapInArrow codec encode: exactly one Exchange (the block-key
+    # repartition), an in-partition Sort (NOT a global sort — no range
+    # exchange), then the Arrow eval; groups never shuffle twice
+    from rust_timeseries_spark.operators import compress as compress_ops
+
+    plan = explain_str(compress_ops.compress_tier_arrow(t1h, "1d", keys=["event_type"]))
+    n_ex = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    has_range = "rangepartitioning" in plan.lower()
+    checks.append(("arrow encode: one hash Exchange + in-partition sort, no range shuffle",
+                   "MapInArrow" in plan and not has_range and n_ex <= 2, plan))
+
     failures = 0
     for name, ok, plan in checks:
         print(f"[{'ok' if ok else 'FAIL'}] {name}")

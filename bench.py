@@ -59,6 +59,8 @@ def main() -> None:
         "gapfill_linear_1h",
         "lag_moments",
         "ewma_1h",
+        "ewma_distributed_1h",
+        "tier_incremental_1h",
         "el_test",
         "hac_covariance",
         "hac_covariance_parzen",

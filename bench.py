@@ -78,6 +78,7 @@ def main() -> None:
         "dedup_minhash_lsh",
         "dedup_simhash",
         "lsh_jaccard_verify",
+        "embedding_near_dup",
         "embedding_knn",
         "embedding_knn_ivf",
         "text_quality",

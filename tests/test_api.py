@@ -162,7 +162,12 @@ def test_reference_module_paths_are_drop_in():
     from rust_timeseries_spark import duration_models, hac_estimation, statistical_tests
 
     assert duration_models.__all__ == ["ACD", "ACDOptimOutcome", "ACDFittedParams"]
-    assert statistical_tests.__all__ == ["EscancianoLobato"]
+    # statistical_tests: the reference's exact __all__ is a PREFIX; the
+    # extras are this engine landing the reference's own roadmap
+    # ("further GoF/residual tests under statistical_tests",
+    # README.md:406-409) — a strict superset stays drop-in
+    assert statistical_tests.__all__[:1] == ["EscancianoLobato"]
+    assert statistical_tests.__all__ == ["EscancianoLobato", "LjungBox"]
     assert hac_estimation.__all__ == ["estimate_hac_covariance_matrix"]
     assert duration_models.ACD is ACD
     from rust_timeseries_spark.duration_models import ACD as ACD2  # import-path smoke

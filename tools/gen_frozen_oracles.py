@@ -178,6 +178,53 @@ def to_values_sql(rows: list[tuple], cols: list[str], types: list[str]) -> str:
 COV_THETA = (-1.5, -0.5, -0.3)
 COV_BANDWIDTH = 8
 
+#: embedding near-dup params — must match __spark_entry__._EMB_ND
+EMB_ND = dict(threshold=0.35, n_bits=4, n_tables=8, seed=42, dim=64)
+
+
+def emb_near_dup_py(con, sf_dir: str) -> dict[tuple[int, int], str]:
+    """Independent numpy recompute of the sign-LSH embedding near-dup
+    pipeline (dedup.embedding_near_dup_pairs ungrouped route): seeded
+    Gaussian hyperplanes → per-table sign buckets → within-bucket
+    candidate pairs → exact cosine ≥ threshold, formatted %.5e. The
+    seeded ``np.random.default_rng`` is the one shared public-library
+    component (like eigh / xxh64 in the other recomputes); the
+    bucketing, pairing, dedup and cosine algebra are re-derived here."""
+    import numpy as np
+
+    nb, nt, seed, thr = (
+        EMB_ND["n_bits"], EMB_ND["n_tables"], EMB_ND["seed"], EMB_ND["threshold"]
+    )
+    rows = con.execute(
+        f"SELECT vec_id, embedding FROM read_parquet('{sf_dir}/embeddings.parquet') "
+        "ORDER BY vec_id"
+    ).fetchall()
+    ids = [int(r[0]) for r in rows]
+    M = np.array([r[1] for r in rows], dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((M.shape[1], nb * nt))
+    bits = (M @ planes) > 0
+    codes = bits.reshape(len(M), nt, nb) @ (1 << np.arange(nb, dtype=np.int64))
+    nrm = np.sqrt((M * M).sum(axis=1))
+    out: dict[tuple[int, int], str] = {}
+    seen: set[tuple[int, int]] = set()
+    for t in range(nt):
+        buckets: dict[int, list[int]] = {}
+        for i, c in enumerate(codes[:, t]):
+            buckets.setdefault(int(c), []).append(i)
+        for idxs in buckets.values():
+            for x in range(len(idxs)):
+                for y in range(x + 1, len(idxs)):
+                    i, j = idxs[x], idxs[y]
+                    key = (ids[i], ids[j]) if ids[i] < ids[j] else (ids[j], ids[i])
+                    if key in seen:
+                        continue
+                    seen.add(key)
+                    cos = float(M[i] @ M[j]) / (nrm[i] * nrm[j])
+                    if cos >= thr:
+                        out[key] = "%.5e" % cos
+    return out
+
 DRIVER_SF = "0.01"  # the driver's correctness-gate scale
 
 
@@ -221,8 +268,9 @@ def gen_one_sf(spark, entrymod, con, sf_dir: str, cov_only: bool = False) -> dic
     mh = minhash_pairs_py(docs)
     sh = simhash_pairs_py(docs)
     lv = lsh_verified_pairs_py(docs)
+    en = emb_near_dup_py(con, sf_dir)
     print(f"independent recompute: minhash {len(mh)}, simhash {len(sh)}, "
-          f"lsh-verified {len(lv)} pairs")
+          f"lsh-verified {len(lv)}, emb-near-dup {len(en)} pairs")
 
     # verify against the engine before freezing
     got_mh = {
@@ -237,6 +285,18 @@ def gen_one_sf(spark, entrymod, con, sf_dir: str, cov_only: bool = False) -> dic
         (r["id_a"], r["id_b"]): (r["inter"], r["union_sz"], r["jaccard"])
         for r in qs["lsh_jaccard_verify"](spark, sf_dir).collect()
     }
+    got_en = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in qs["embedding_near_dup"](spark, sf_dir).collect()
+    }
+    if got_en != en:
+        extra, missing = set(got_en) - set(en), set(en) - set(got_en)
+        print(f"EMB-NEAR-DUP MISMATCH: engine-only {sorted(extra)[:5]}, "
+              f"recompute-only {sorted(missing)[:5]}")
+        vals = {k: (got_en.get(k), en.get(k)) for k in list(set(got_en) | set(en))[:5]
+                if got_en.get(k) != en.get(k)}
+        print("value diffs:", vals)
+        return None
     if got_mh != mh:
         extra, missing = set(got_mh) - set(mh), set(mh) - set(got_mh)
         print(f"MINHASH MISMATCH: engine-only {sorted(extra)[:5]}, recompute-only {sorted(missing)[:5]}")
@@ -259,7 +319,11 @@ def gen_one_sf(spark, entrymod, con, sf_dir: str, cov_only: bool = False) -> dic
     mh_rows = sorted((a, b, est) for (a, b), est in mh.items())
     sh_rows = sorted((a, b, h) for (a, b), h in sh.items())
     lv_rows = sorted((a, b, i, u, j) for (a, b), (i, u, j) in lv.items())
+    en_rows = sorted((a, b, c) for (a, b), c in en.items())
     return {
+        "embedding_near_dup": to_values_sql(
+            en_rows, ["id_a", "id_b", "cosine"], ["BIGINT", "BIGINT", "VARCHAR"]
+        ),
         "dedup_minhash_lsh": to_values_sql(
             mh_rows, ["id_a", "id_b", "est_jaccard"], ["BIGINT", "BIGINT", "DOUBLE"]
         ),
@@ -294,6 +358,7 @@ def main() -> int:
         shingle_k=3, num_perm=32, bands=8, rows_per_band=4, threshold=0.5, seed=42
     )
     assert MINHASH == mh_drv, "MINHASH params drifted"
+    assert entrymod._EMB_ND == EMB_ND, "EMB_ND params drifted"
 
     spark = build_spark(app_name="gen-frozen-oracles", shuffle_partitions=8)
     # merge over any existing freeze so incremental regeneration (e.g.

@@ -430,7 +430,15 @@ def embedding_near_dup_pairs(
     )
     cosine = (dot / (F.col("a.nrm") * F.col("b.nrm"))).alias("cosine")
     if group_col is None and not allow_full_pairs:
-        # scale path: sign-LSH buckets; the only join key is (table, bucket)
+        # scale path: sign-LSH buckets; pairs form only inside a
+        # (table, bucket) cell. Within a cell, pairwise cosines come
+        # from ONE numpy GEMM per cell (applyInPandas) instead of a
+        # self-join evaluating an interpreted zip_with/aggregate fold
+        # per candidate — measured ~5× faster at ~10⁶ collision
+        # candidates with identical pair semantics (cosine =
+        # dot/(‖a‖·‖b‖), id_a < id_b, cross-table dedup after). Cell
+        # sizes are bounded by the collision rate, so each GEMM is
+        # small and the distributed dimension is the cell fan-out.
         from .similarity import infer_dim, random_hyperplane_buckets
 
         if dim is None:
@@ -439,18 +447,51 @@ def embedding_near_dup_pairs(
             base, n_bits=n_bits, n_tables=n_tables, id_col="id", vec_col="v",
             dim=dim, seed=seed,
         ).select("id", "v", "nrm", "table", "bucket")
-        a = bkts.alias("a")
-        b = bkts.alias("b")
-        return (
-            a.join(
-                b,
-                (F.col("a.table") == F.col("b.table"))
-                & (F.col("a.bucket") == F.col("b.bucket"))
-                & (F.col("a.id") < F.col("b.id")),
+        id_field = base.schema["id"]
+        out_schema = T.StructType(
+            [
+                T.StructField("id_a", id_field.dataType),
+                T.StructField("id_b", id_field.dataType),
+                T.StructField("cosine", T.DoubleType()),
+            ]
+        )
+        thr = float(threshold)
+
+        def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+            n = len(pdf)
+            if n < 2:
+                return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+                    {"cosine": "float64"}
+                )
+            pdf = pdf.sort_values("id", kind="mergesort")
+            mat = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            nrm = pdf["nrm"].to_numpy(dtype=np.float64)
+            # GEMM is a SCREEN only: its last-ulp depends on the cell's
+            # matrix shape, and the same pair can appear in different
+            # cells. Kept pairs get a cell-shape-INDEPENDENT exact
+            # recompute ((a·b) as a per-row pairwise reduction over the
+            # fixed dim), so cross-table duplicates carry bit-identical
+            # cosines and dropDuplicates is deterministic.
+            cos = (mat @ mat.T) / np.outer(nrm, nrm)
+            ia, ib = np.triu_indices(n, 1)
+            screen = cos[ia, ib] >= thr - 1e-9
+            ia, ib = ia[screen], ib[screen]
+            dots = (mat[ia] * mat[ib]).sum(axis=1)
+            cosine = dots / (nrm[ia] * nrm[ib])
+            keep = cosine >= thr
+            ids = pdf["id"].to_numpy()
+            return pd.DataFrame(
+                {
+                    "id_a": ids[ia[keep]],
+                    "id_b": ids[ib[keep]],
+                    "cosine": cosine[keep],
+                }
             )
-            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), cosine)
+
+        return (
+            bkts.groupBy("table", "bucket")
+            .applyInPandas(cell_pairs, out_schema)
             .dropDuplicates(["id_a", "id_b"])
-            .where(F.col("cosine") >= threshold)
         )
     a = base.alias("a")
     b = base.alias("b")

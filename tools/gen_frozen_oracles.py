@@ -220,7 +220,9 @@ def emb_near_dup_py(con, sf_dir: str) -> dict[tuple[int, int], str]:
                     if key in seen:
                         continue
                     seen.add(key)
-                    cos = float(M[i] @ M[j]) / (nrm[i] * nrm[j])
+                    # per-row pairwise reduction — the exact op the
+                    # engine's cell-independent recompute uses
+                    cos = float((M[i] * M[j]).sum()) / (nrm[i] * nrm[j])
                     if cos >= thr:
                         out[key] = "%.5e" % cos
     return out

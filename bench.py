@@ -75,6 +75,7 @@ def main() -> None:
         "orders_dim_join",
         "dedup_exact",
         "ngram_jaccard",
+        "ngram_jaccard_prefix",
         "dedup_minhash_lsh",
         "dedup_simhash",
         "lsh_jaccard_verify",

@@ -221,6 +221,76 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_jaccard_threshold_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str | None = None,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """EXACT all-pair Jaccard ≥ ``threshold`` at scale via PREFIX
+    FILTERING (Bayardo/Ma/Srikant, "Scaling Up All Pairs Similarity
+    Search", WWW 2007; Chaudhuri/Ganti/Kaushik SSJoin, ICDE 2006).
+
+    Each document's distinct shingles are ordered by ascending GLOBAL
+    document frequency (rarest first, ties by shingle); only the first
+    ``|S| − ⌈t·|S|⌉ + 1`` shingles are indexed. Pigeonhole guarantee:
+    J(A,B) ≥ t ⟹ |A∩B| ≥ ⌈t·max(|A|,|B|)⌉, and two sets sharing that
+    many elements must collide inside these prefixes — so candidate
+    generation loses NOTHING while the inverted index shrinks to the
+    rare tail of each document (hot shingles land at prefix ends and
+    mostly drop out: the skew that degenerates the unthresholded index
+    prunes itself). Candidates are then verified with exact
+    ``array_intersect`` over the full shingle sets.
+
+    This is the scalable EXACT companion to ``lsh_verified_pairs``
+    (exact with no LSH recall caveat) and to the unthresholded
+    ``ngram_jaccard_pairs`` reporter (which must keep every
+    1-shingle-overlap pair and therefore cannot prune)."""
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    from pyspark.sql import Window
+
+    sh = F.array_sort(F.array_distinct(shingles(text_col, shingle_k)))
+    gcols = [group_col] if group_col else []
+    docs = df.select(id_col, *gcols, sh.alias("_set"))
+    toks = docs.select(id_col, *gcols, F.size("_set").alias("_sz"), F.explode("_set").alias("tok"))
+    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("_df"))
+    w = Window.partitionBy(id_col).orderBy("_df", "tok")
+    prefix = (
+        toks.join(dfreq, "tok")
+        .withColumn("_pos", F.row_number().over(w))
+        .where(F.col("_pos") <= F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz")) + 1)
+        .select(id_col, *gcols, "tok")
+    )
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    cond = (F.col("a.tok") == F.col("b.tok")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    if group_col:
+        cond = cond & (F.col(f"a.{group_col}") == F.col(f"b.{group_col}"))
+    cands = (
+        a.join(b, cond)
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    sa = docs.select(F.col(id_col).alias("id_a"), F.col("_set").alias("set_a"))
+    sb = docs.select(F.col(id_col).alias("id_b"), F.col("_set").alias("set_b"))
+    inter = F.size(F.array_intersect("set_a", "set_b"))
+    union = F.size("set_a") + F.size("set_b") - inter
+    return (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a", "id_b",
+            inter.alias("inter"),
+            union.alias("union_sz"),
+            (inter.cast("double") / union).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
 def lsh_verified_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -158,6 +158,31 @@ def test_lsh_verified_pairs_exact_jaccard_on_candidates(spark):
     assert abs(out[("a", "b")]["jaccard"] - expect) < 1e-12
 
 
+def test_ngram_jaccard_prefix_filter_is_exact(spark):
+    """Prefix filtering must lose NOTHING: the thresholded operator's
+    output equals the unthresholded inverted-index reporter filtered at
+    the same threshold (an independent join path), on a corpus with
+    planted near-dups at J≈0.85 and organic partial overlaps."""
+    from rust_timeseries_spark import datagen
+
+    docs = datagen.document_corpus(spark, 2_000)
+    got = {
+        (r["id_a"], r["id_b"]): (r["inter"], r["union_sz"], r["jaccard"])
+        for r in dedup.ngram_jaccard_threshold_pairs(docs, threshold=0.5).collect()
+    }
+    exp = {
+        (r["id_a"], r["id_b"]): (r["inter"], r["union_sz"], r["jaccard"])
+        for r in dedup.ngram_jaccard_pairs(docs).where("jaccard >= 0.5").collect()
+    }
+    assert got == exp and len(got) >= 90  # ~100 planted near-dup pairs
+    # threshold validation
+    import pytest
+    with pytest.raises(ValueError):
+        dedup.ngram_jaccard_threshold_pairs(docs, threshold=0.0)
+    # t = 1.0: exact duplicates only (planted docs differ in word 1)
+    assert dedup.ngram_jaccard_threshold_pairs(docs.limit(200), threshold=1.0).count() == 0
+
+
 def test_lsh_candidates_track_collision_rate_not_n_squared(spark):
     """Round-3 verdict item 1: as the corpus grows 10×, LSH candidate
     pairs must grow ~10× (planted dups + bounded hash collisions — the

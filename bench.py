@@ -47,6 +47,7 @@ def main() -> None:
 
     headline = [
         "rollup_1m",
+        "token_equality",
         "rollup_1m_salted",
         "streaming_rollup_1m",
         "rollup_1h_fold",

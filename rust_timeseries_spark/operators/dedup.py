@@ -258,10 +258,18 @@ def ngram_jaccard_threshold_pairs(
     toks = docs.select(id_col, *gcols, F.size("_set").alias("_sz"), F.explode("_set").alias("tok"))
     dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("_df"))
     w = Window.partitionBy(id_col).orderBy("_df", "tok")
+    # ceiling with a DOWNWARD bias: float ceil(t*n) can overshoot the
+    # value the float jaccard comparison actually implies (e.g.
+    # 0.07*100 → 7.000000000000001 → ceil 8, yet inter=7/union=100
+    # divides to exactly the threshold double and qualifies). Biasing
+    # the product down by 1e-9 can only LENGTHEN the prefix — more
+    # candidates, never a lost pair — so exactness is preserved in the
+    # safe direction (pinned by test_prefix_ceiling_never_overshoots).
+    alpha = F.ceil(F.lit(threshold) * F.col("_sz") - F.lit(1e-9))
     prefix = (
         toks.join(dfreq, "tok")
         .withColumn("_pos", F.row_number().over(w))
-        .where(F.col("_pos") <= F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz")) + 1)
+        .where(F.col("_pos") <= F.col("_sz") - alpha + 1)
         .select(id_col, *gcols, "tok")
     )
     a = prefix.alias("a")

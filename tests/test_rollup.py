@@ -65,11 +65,14 @@ def test_read_tokens_iceberg_branch_executes(spark):
     assert rows[0]["doc_id"] == "token_table:doc0"
     assert [f.name for f in df.schema.fields] == ["doc_id", "tokens", "n_tok", "source"]
     tok.assert_invariants(df)  # the downstream contract runs unchanged
-    # column pruning reaches the v2 scan: a projection that drops
-    # `tokens` must not carry it in the read schema
+    # NOTE (review r4): column pruning does NOT reach a Python Data
+    # Source stand-in (the BatchScan carries all four columns and emits
+    # no ReadSchema marker), so there is deliberately no pruning assert
+    # here — pruning-to-scan is pinned for the real parquet source by
+    # tools/explain_plans.py check 1. The projection itself must still
+    # evaluate against the stand-in scan:
     pruned = df.select("doc_id", "n_tok")
-    plan = pruned._jdf.queryExecution().executedPlan().toString()
-    assert "tokens" not in plan.split("ReadSchema")[-1] if "ReadSchema" in plan else True
+    assert pruned.count() == 5 and pruned.columns == ["doc_id", "n_tok"]
 
 
 def test_rollup_matches_pandas(spark, sf_dir):

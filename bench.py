@@ -61,6 +61,7 @@ def main() -> None:
         "lag_moments",
         "ewma_1h",
         "ewma_distributed_1h",
+        "streaming_ewma_1h",
         "tier_incremental_1h",
         "el_test",
         "hac_covariance",

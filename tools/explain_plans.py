@@ -112,6 +112,14 @@ def main() -> None:
     checks.append(("session windows: no extra shuffle beyond the session agg",
                    len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) <= 2, plan))
 
+    # 11b. prefix-filtered exact Jaccard: candidates come from an
+    # equi-join on the prefix token — never a cartesian — and the
+    # verification joins are plain equi-joins on the pair ids
+    plan = explain_str(dedup.ngram_jaccard_threshold_pairs(docs, threshold=0.8))
+    checks.append(("prefix jaccard: token equi-join, no cartesian",
+                   "CartesianProduct" not in plan
+                   and "BroadcastNestedLoopJoin" not in plan, plan))
+
     # 11. mapInArrow codec encode: exactly one Exchange (the block-key
     # repartition), an in-partition Sort (NOT a global sort — no range
     # exchange), then the Arrow eval; groups never shuffle twice

@@ -50,10 +50,19 @@ class MetaStore:
         df.write.mode("append").parquet(f"{self.base}/{name}")
 
     def _read(self, name: str, schema: T.StructType) -> DataFrame:
+        # only a MISSING table means "not created yet" — any other read
+        # failure (corrupt footer, permissions, transient FS error) must
+        # propagate: silently returning an empty frame here would reset
+        # every watermark and reseed the recursions with wrong values
+        # (review r4)
+        from pyspark.errors import AnalysisException
+
         try:
             return self.spark.read.parquet(f"{self.base}/{name}")
-        except Exception:  # noqa: BLE001 — table not created yet
-            return self.spark.createDataFrame([], schema)
+        except AnalysisException as e:
+            if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+                return self.spark.createDataFrame([], schema)
+            raise
 
     # -- lineage -------------------------------------------------------------
 

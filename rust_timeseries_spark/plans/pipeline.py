@@ -63,7 +63,7 @@ class RollupPipeline:
             )
         ]
         self.meta.record_lineage(run_id, "1h", day_rows)
-        self._advance_ewma_watermarks(t1h)
+        self._advance_ewma_watermarks(t1h, dirty_days=days)
         wall = time.perf_counter() - t0
         metrics = {
             "n_batch_rows": float(n_batch),
@@ -86,11 +86,32 @@ class RollupPipeline:
     def ewma_full(self, t1h: DataFrame) -> DataFrame:
         return recursion.ewma(self._ewma_series(t1h), self.keys, self.ewma_alpha, order_col="t")
 
-    def _advance_ewma_watermarks(self, t1h: DataFrame) -> None:
+    def _advance_ewma_watermarks(self, t1h: DataFrame, dirty_days: list[int] | None = None) -> None:
         """Store (last_bucket_ts, ψ-lag, duration-lag) per key. With
-        p=q=1 the full recursion state is one ψ and one observation."""
-        full = self.ewma_full(t1h)
-        w_latest = full.withColumn(
+        p=q=1 the full recursion state is one ψ and one observation.
+
+        INCREMENTAL by default (review r4): when every dirty day is
+        strictly after every key's checkpointed watermark (the
+        append-only common case), the advance continues the recursion
+        from the stored lags over only the fresh buckets
+        (``ewma_continue`` — bit-identical to the uninterrupted pass,
+        pinned by test_tiers), so the per-increment cost is O(new data)
+        instead of O(total history). Late data that re-dirties a day at
+        or before any watermark invalidates the downstream ψ path, so
+        that case (and the bootstrap) falls back to the full recursion."""
+        wm = self.meta.watermarks(self.keys)
+        have_wm = wm.limit(1).count() > 0
+        incremental = have_wm and dirty_days is not None and len(dirty_days) > 0
+        if incremental:
+            max_wm_day = wm.agg(
+                F.max(F.col("last_bucket_ts") - F.pmod(F.col("last_bucket_ts"), F.lit(86400)))
+            ).collect()[0][0]
+            incremental = min(dirty_days) > max_wm_day
+        if not incremental:
+            source = self.ewma_full(t1h)
+        else:
+            source = self.ewma_continue(t1h)
+        w_latest = source.withColumn(
             "_rn",
             F.row_number().over(Window.partitionBy(*self.keys).orderBy(F.desc("t"))),
         ).where(F.col("_rn") == 1)
@@ -103,6 +124,13 @@ class RollupPipeline:
             F.array(F.col("psi")).alias("psi_lags"),
             F.array(F.col("v")).alias("dur_lags"),
         )
+        if incremental:
+            # keys with no fresh buckets keep their previous state — the
+            # overwrite must not drop them. (save_watermarks stages
+            # through watermark_new before replacing the table, so this
+            # plan's read of the old table materializes safely first.)
+            untouched = wm.join(rows.select(*self.keys), self.keys, "left_anti")
+            rows = untouched.select(*rows.columns).unionByName(rows)
         self.meta.save_watermarks(rows)
 
     def ewma_continue(self, t1h_new: DataFrame) -> DataFrame:

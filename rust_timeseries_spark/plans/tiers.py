@@ -182,14 +182,24 @@ class TierStore:
 
     def compact(self, tier: str, target_files_per_partition: int = 1) -> None:
         """Rewrite a tier with coalesced files (Iceberg
-        rewrite_data_files analogue)."""
+        rewrite_data_files analogue). For day-partitioned tiers each
+        ``bucket_day`` directory ends with ~``target_files_per_partition``
+        files: rows are exchanged on (bucket_day, salt) so each day gets
+        that many writing tasks (review r4 — a plain
+        ``repartition(N, "bucket_day")`` hashes a whole day to ONE task,
+        so the parameter silently did nothing)."""
         df = self.spark.read.parquet(self.tier_path(tier))
         tmp = self.tier_path(tier) + "_compact"
-        writer = df.coalesce(max(1, target_files_per_partition)).write.mode("overwrite")
+        n = max(1, int(target_files_per_partition))
         if _PARTITION_COLS[tier] and "bucket_day" in df.columns:
-            writer = df.repartition(target_files_per_partition, "bucket_day").write.mode(
-                "overwrite"
-            ).partitionBy("bucket_day")
+            salt_src = [c for c in df.columns if c != "bucket_day"]
+            out = df.withColumn("_salt", F.pmod(F.xxhash64(*salt_src), F.lit(n)))
+            writer = (
+                out.repartition("bucket_day", "_salt").drop("_salt")
+                .write.mode("overwrite").partitionBy("bucket_day")
+            )
+        else:
+            writer = df.coalesce(n).write.mode("overwrite")
         writer.parquet(tmp)
         final = self.tier_path(tier)
         shutil.rmtree(final)

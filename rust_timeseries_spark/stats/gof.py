@@ -48,7 +48,11 @@ def acd_residuals(
 ) -> DataFrame:
     """Standardized residuals ε̂_t = x_t/ψ_t at fixed parameters — the
     deterministic kernel stage (ψ recursion per key), one row per
-    observation: (keys..., order_col, eps)."""
+    observation after the ``spec.t0`` burn-in: (keys..., order_col,
+    eps). Honors the FULL init-policy surface (``spec.init`` /
+    ``init_value`` — review r4: residuals for a model fit with
+    ``init='fixed'``/``'sample_mean'`` must seed the same way the fit
+    did, or the diagnostics run on the wrong ψ path)."""
     key_fields = [df.schema[k] for k in keys]
     out_schema = T.StructType(
         [*key_fields, df.schema[order_col], T.StructField("eps", T.DoubleType())]
@@ -59,17 +63,19 @@ def acd_residuals(
         pdf = pdf.sort_values(order_col, kind="mergesort")
         x = pdf[value_col].to_numpy(dtype=np.float64)
         # ψ at the EXACT fixed params, not a θ round-trip: build ψ with
-        # the recursion kernel directly (same op order as the reference)
-        from ..operators.recursion import psi_recursion_np
+        # the recursion kernel directly (same op order as the reference),
+        # seeded by the spec's init policy (seed_init ≡ psi.rs:403-427)
+        from ..operators.recursion import psi_recursion_np, seed_init
 
-        uncond = om / (1.0 - sum(al) - sum(be))
-        psi = psi_recursion_np(
-            x, om, np.asarray(al), np.asarray(be),
-            np.full(len(be), uncond), np.full(len(al), uncond),
-            guards=spec.psi_guards,
+        al_a, be_a = np.asarray(al), np.asarray(be)
+        pi, di = seed_init(
+            spec.init, om, al_a, be_a, float(x.mean()), len(be), len(al),
+            fixed_value=spec.init_value,
         )
-        out = pdf[[*keys, order_col]].copy()
-        out["eps"] = x / psi
+        psi = psi_recursion_np(x, om, al_a, be_a, pi, di, guards=spec.psi_guards)
+        t0 = spec.t0 or 0
+        out = pdf[[*keys, order_col]].iloc[t0:].copy()
+        out["eps"] = (x / psi)[t0:]
         return out
 
     return df.select(*keys, order_col, value_col).groupBy(*keys).applyInPandas(kfn, out_schema)
@@ -111,7 +117,13 @@ def ljung_box_excess_dispersion(
     the shuffle is the per-key window sort, shared across lags).
 
     ``m`` must be even so the χ²(m) p-value has the elementary closed
-    form a SQL oracle can recompute."""
+    form a SQL oracle can recompute.
+
+    Error-as-value convention (review r4, matching ``el.py`` and
+    ``acd_fit``): keys with too few observations (n ≤ m) or constant
+    residuals (zero variance) get NULL statistics and a message in the
+    ``error`` column instead of silent nulls/NaNs — downstream
+    consumers can distinguish 'test failed' from 'value missing'."""
     if m < 2 or m % 2:
         raise ValueError(f"m must be even and >= 2, got {m}")
     w = Window.partitionBy(*keys).orderBy(order_col)
@@ -143,10 +155,16 @@ def ljung_box_excess_dispersion(
     sf = F.exp(-half) * sf
     sigma2 = F.col("_s0") / n
     ed = F.sqrt(n / 8.0) * (sigma2 - 1.0)
+    err = (
+        F.when(F.col("n") <= m, F.lit(f"InsufficientObservations: n <= m={m}"))
+        .when(F.col("_s0") <= 0.0, F.lit("ZeroVariance: constant residuals"))
+    )
+    ok = err.isNull()
     return agg.select(
         *keys,
         F.col("n"),
-        q.alias("lb_stat"),
-        sf.alias("lb_pvalue"),
-        ed.alias("excess_dispersion"),
+        F.when(ok, q).alias("lb_stat"),
+        F.when(ok, sf).alias("lb_pvalue"),
+        F.when(ok, ed).alias("excess_dispersion"),
+        err.alias("error"),
     )

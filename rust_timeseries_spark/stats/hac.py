@@ -50,6 +50,10 @@ def hac_covariance_np(
     if center:
         scores = scores - scores.mean(axis=0)  # hac.rs:342-347
     if bandwidth is not None:
+        if int(bandwidth) < 0:
+            # a negative bw would empty the lag loop and silently return
+            # a zero matrix (zero standard errors) — fail loudly instead
+            raise ValueError(f"bandwidth must be >= 0, got {bandwidth}")
         bw = min(int(bandwidth), n - 1)
     else:
         bw = min(optimal_bandwidth(kernel, scores), n - 1)  # hac.rs:350-353
@@ -87,6 +91,9 @@ def hac_covariance(
         ]
     )
     kernel_n = normalize_kernel(kernel)
+
+    if bandwidth is not None and int(bandwidth) < 0:
+        raise ValueError(f"bandwidth must be >= 0, got {bandwidth}")
 
     def kernel_fn(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order_col, kind="mergesort")

@@ -453,13 +453,28 @@ def lbfgs_minimize(
             q += (a - b) * s
         p = -q
 
+        # memoize the line search's own evaluations: both searchers end
+        # on a step whose phi AND dphi they just computed, so the driver
+        # would otherwise pay one redundant f and one redundant g per
+        # iteration (review r4 — ~2 full ψ recursions per L-BFGS step in
+        # the ACD fit hot path). f(x + a·p) here and f(x_new) below are
+        # the same float expression, so reuse is bit-identical.
+        f_cache: dict[float, float] = {}
+        g_cache: dict[float, np.ndarray] = {}
+
         def phi(a, _x=x, _p=p):
             nonlocal evals
+            if a in f_cache:
+                return f_cache[a]
             evals += 1
-            return f(_x + a * _p)
+            val = f(_x + a * _p)
+            f_cache[a] = val
+            return val
 
         def dphi(a, _x=x, _p=p):
-            return float(np.asarray(g(_x + a * _p), dtype=np.float64) @ _p)
+            if a not in g_cache:
+                g_cache[a] = np.asarray(g(_x + a * _p), dtype=np.float64)
+            return float(g_cache[a] @ _p)
 
         dphi0 = float(gx @ p)
         if searcher == "hager_zhang":
@@ -470,9 +485,15 @@ def lbfgs_minimize(
             status = "LineSearchFailed"
             break
         x_new = x + step * p
-        f_new = f(x_new)
-        g_new = np.asarray(g(x_new), dtype=np.float64)
-        evals += 1
+        if step in f_cache:
+            f_new = f_cache[step]
+        else:
+            f_new = f(x_new)
+            evals += 1
+        if step in g_cache:
+            g_new = g_cache[step]
+        else:
+            g_new = np.asarray(g(x_new), dtype=np.float64)
         if verbose:
             print(f"[lbfgs it={it}] f={f_new:.10g} step={step:.3g} "
                   f"|g|={float(np.linalg.norm(g_new)):.3g} evals={evals}")

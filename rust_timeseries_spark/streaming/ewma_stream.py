@@ -56,7 +56,15 @@ def ewma_stateful(
             psi_prev, v_prev, n_seen = state.get
         else:
             psi_prev, v_prev, n_seen = float(init_value), float(init_value), 0
-        for pdf in pdf_iter:
+        # materialize the WHOLE group before sorting: a micro-batch group
+        # larger than arrow.maxRecordsPerBatch arrives as several chunks,
+        # and the groupBy shuffle orders by key only — sorting each chunk
+        # independently would feed later timestamps into earlier recursion
+        # steps (review r4). Group size per micro-batch is the same bound
+        # grouped applyInPandas already assumes.
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
             pdf = pdf.sort_values(order_col, kind="mergesort")
             x = pdf[value_col].to_numpy(dtype=np.float64)
             psi = psi_recursion_np(

@@ -36,13 +36,21 @@ def stream_rollup(
     watermark: str = "10 minutes",
     glob: str | None = None,
     reader_options: dict[str, str] | None = None,
+    epoch: bool = False,
 ) -> DataFrame:
     """Streaming tumbling rollup with late-data watermark. The file
     source requires a DIRECTORY: to stream a single file living among
     others, pass its parent as ``input_path`` and the filename as
     ``glob`` (mapped to ``pathGlobFilter``). ``reader_options`` passes
     extra file-source options (e.g. ``maxFilesPerTrigger`` to force a
-    multi-micro-batch replay of a backlog)."""
+    multi-micro-batch replay of a backlog).
+
+    ``epoch=True`` emits ``bucket_ts`` as an epoch-second BIGINT — the
+    batch ``TierStore``/``rollup_raw(epoch=True)`` key convention — so a
+    ``foreachBatch`` merge_fn can upsert into an epoch-keyed tier table
+    directly (review r4: with the default timestamp ``bucket_ts``, a
+    merge keyed against an epoch-bigint tier would join timestamp vs
+    long and never match)."""
     keys = keys if keys is not None else ["source"]
     width = {"1m": "1 minute", "1h": "1 hour", "1d": "1 day"}[tier]
     reader = spark.readStream.schema(schema)
@@ -58,9 +66,12 @@ def stream_rollup(
         # definition keeps stream ≡ batch) → LTZ instant (a
         # long→timestamp cast is session-TZ-independent, unlike a
         # direct NTZ→LTZ cast)
-        epoch = epoch_seconds(F.col(ts_col), "timestamp_ntz")
-        stream = stream.withColumn(ts_col, epoch.cast("timestamp"))
+        es = epoch_seconds(F.col(ts_col), "timestamp_ntz")
+        stream = stream.withColumn(ts_col, es.cast("timestamp"))
     v = F.col(value_col)
+    bucket = F.col("win.start")
+    if epoch:
+        bucket = epoch_seconds(bucket, "timestamp")
     return (
         stream.withWatermark(ts_col, watermark)
         .groupBy(*keys, F.window(ts_col, width).alias("win"))
@@ -70,7 +81,7 @@ def stream_rollup(
             F.min(v).alias("tok_min"),
             F.max(v).alias("tok_max"),
         )
-        .select(*keys, F.col("win.start").alias("bucket_ts"), "tok_sum", "tok_count", "tok_min", "tok_max")
+        .select(*keys, bucket.alias("bucket_ts"), "tok_sum", "tok_count", "tok_min", "tok_max")
     )
 
 

@@ -137,3 +137,36 @@ def test_stateful_streaming_ewma_bit_exact(spark, tmp_path):
         )
         for t in range(len(xs)):
             assert got[(k, t)] == exp[t], (k, t)
+
+
+def test_stream_rollup_epoch_keys_match_tier_store_convention(spark, tmp_path):
+    """epoch=True emits bucket_ts as epoch-second BIGINT — the batch
+    TierStore / rollup_raw(epoch=True) key convention — so foreachBatch
+    MERGEs into an epoch-keyed tier join correctly (review r4: the
+    default timestamp bucket would join timestamp vs long and never
+    match)."""
+    raw = datagen.with_event_time(datagen.token_table(spark, 1500)).select(
+        "doc_id", "source", "ts", "n_tok"
+    )
+    in_dir = str(tmp_path / "ein")
+    raw.write.mode("append").parquet(in_dir)
+
+    agg = rollup_stream.stream_rollup(
+        spark, in_dir, raw.schema, tier="1h", watermark="30 minutes", epoch=True
+    )
+    assert dict(agg.dtypes)["bucket_ts"] == "bigint"
+    got = {}
+
+    def merge_fn(batch_df, _bid):
+        for r in batch_df.collect():
+            got[(r["source"], r["bucket_ts"])] = (
+                r["tok_sum"], r["tok_count"], r["tok_min"], r["tok_max"]
+            )
+
+    q = rollup_stream.run_incremental(agg, str(tmp_path / "eckpt"), merge_fn)
+    q.awaitTermination(300)
+    exp = {
+        (r["source"], r["bucket_ts"]): (r["tok_sum"], r["tok_count"], r["tok_min"], r["tok_max"])
+        for r in rollup.rollup_raw(raw, "1h", epoch=True).collect()
+    }
+    assert got == exp  # keys AND values identical to the batch epoch tier

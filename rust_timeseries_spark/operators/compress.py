@@ -142,14 +142,29 @@ def compress_tier_arrow(
         .sortWithinPartitions(*gcols, order_col)
     )
 
-    def _group_key_np(tbl: "pa.Table") -> list[np.ndarray]:
-        return [tbl.column(c).to_numpy(zero_copy_only=False) for c in gcols]
+    def _group_key_np(tbl: "pa.Table") -> list[tuple[np.ndarray, np.ndarray]]:
+        out = []
+        for c in gcols:
+            col = tbl.column(c)
+            out.append((
+                col.to_numpy(zero_copy_only=False),
+                col.is_null().to_numpy(zero_copy_only=False),
+            ))
+        return out
 
-    def _change_points(kv: list[np.ndarray], n: int) -> np.ndarray:
+    def _change_points(kv: list[tuple[np.ndarray, np.ndarray]], n: int) -> np.ndarray:
+        # ADVICE r4: a null numeric key surfaces as NaN via to_numpy and
+        # NaN != NaN, so an elementwise compare would cut every null row
+        # into its own group — diverging from the grouped applyInPandas
+        # path, which groups nulls together. Null-mask the compare:
+        # null==null counts as "no change", null vs non-null as a cut.
         change = np.zeros(n, dtype=bool)
         change[0] = True
-        for arr in kv:
-            change[1:] |= arr[1:] != arr[:-1]
+        for arr, nulls in kv:
+            neq = arr[1:] != arr[:-1]
+            both_null = nulls[1:] & nulls[:-1]
+            either_null = nulls[1:] ^ nulls[:-1]
+            change[1:] |= (neq & ~both_null) | either_null
         return change
 
     def _encode_groups(tbl: "pa.Table"):
@@ -173,9 +188,9 @@ def compress_tier_arrow(
                 blobs.append(C.encode_dod_int64(ints[c][s:e]))
             for c in float_cols:
                 blobs.append(C.encode_gorilla_f64(flts[c][s:e]))
-            for k, arr in zip(keys, kv):
-                out[k].append(arr[s])
-            out["block_start"].append(int(kv[-1][s]))
+            for k, (arr, nulls) in zip(keys, kv):
+                out[k].append(None if nulls[s] else arr[s])
+            out["block_start"].append(int(kv[-1][0][s]))
             npts = int(e - s)
             out["n_points"].append(npts)
             out["ts_blob"].append(blobs[0])

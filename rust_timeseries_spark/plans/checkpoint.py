@@ -60,7 +60,22 @@ class MetaStore:
         try:
             return self.spark.read.parquet(f"{self.base}/{name}")
         except AnalysisException as e:
-            if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            # structured error class first (stable across Spark message
+            # rewording — ADVICE r4), message substrings as fallback for
+            # builds that predate error classes on this path
+            cond = None
+            for attr in ("getCondition", "getErrorClass"):
+                fn = getattr(e, attr, None)
+                if callable(fn):
+                    try:
+                        cond = fn()
+                        break
+                    except Exception:
+                        cond = None
+            if (cond and "PATH_NOT_FOUND" in cond) or (
+                cond is None
+                and ("PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e))
+            ):
                 return self.spark.createDataFrame([], schema)
             raise
 

@@ -315,3 +315,34 @@ def test_native_cache_dir_refuses_unsafe_ownership(tmp_path, monkeypatch):
     monkeypatch.setenv("RTS_NATIVE_CACHE", str(unsafe))
     with pytest.raises(OSError, match="unsafe native cache"):
         N._cache_dir()
+
+
+def test_compress_tier_arrow_null_keys_match_grouped(spark):
+    # ADVICE r4: a null key must form ONE group in the arrow path (the
+    # change-point scan null-masks the compare), exactly as the grouped
+    # applyInPandas path groups nulls — both for string and numeric keys
+    from pyspark.sql import functions as F
+
+    from rust_timeseries_spark import datagen
+    from rust_timeseries_spark.operators import compress, rollup
+
+    df = datagen.with_event_time(datagen.token_table(spark, 1200))
+    t1h = rollup.rollup_raw(df, "1h", epoch=True)
+    for null_key in [
+        F.when(F.col("source") == "web", None).otherwise(F.col("source")),
+        F.when(F.col("source") == "web", None).otherwise(F.length("source")).cast("long"),
+    ]:
+        t = t1h.withColumn("source", null_key)
+
+        def key(r):
+            return (r["source"], r["block_start"])
+
+        exp = {key(r): r.asDict() for r in compress.compress_tier(t, "1d").collect()}
+        assert any(k[0] is None for k in exp), "fixture lost its null group"
+        old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+        try:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+            got = {key(r): r.asDict() for r in compress.compress_tier_arrow(t, "1d").collect()}
+        finally:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+        assert got == exp

@@ -115,9 +115,16 @@ def main() -> int:
         except ValueError:
             sf_val = None
         if name in sf_limits and sf_val is not None and sf_val > sf_limits[name]:
-            print(f"[skip] {name}: oracle impractical above sf{sf_limits[name]} "
-                  "(see ORACLE_SF_LIMITS)")
-            continue
+            # the live RECURSIVE-CTE oracle is impractical here, but a
+            # per-SF frozen recompute (gen_frozen_oracles) substitutes
+            # when generated — the sweep checks values instead of skipping
+            if name in frozen_sqls:
+                oracles = {**oracles, name: frozen_sqls[name]}
+            else:
+                print(f"[skip] {name}: oracle impractical above sf{sf_limits[name]} "
+                      "(see ORACLE_SF_LIMITS; run tools/gen_frozen_oracles.py "
+                      "to freeze a recompute for this sf)")
+                continue
         try:
             got_tbl = fn(spark, sf_dir).toArrow()
             got = normalize(got_tbl.to_pandas())

@@ -159,6 +159,10 @@ def _sql_literal(v) -> str:
     # literal as DECIMAL first, and DECIMAL→DOUBLE can differ from IEEE
     # strtod by 1 ulp; CAST('…' AS DOUBLE) is strtod, which round-trips
     # Python's repr exactly
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
     if isinstance(v, float):
         return f"CAST('{v!r}' AS DOUBLE)"
     return repr(v)
@@ -235,15 +239,68 @@ def _sf_key(sf_dir: str) -> str:
     return str(float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]))
 
 
+def gen_acd_loglik(spark, entrymod, con, sf_dir: str) -> dict[str, str] | None:
+    """Recompute + verify + render the 4 fixed-θ kernel gates whose live
+    RECURSIVE-CTE oracles are oracle-side bottlenecks above sf0.01
+    (ORACLE_SF_LIMITS): acd_fit_durations / acd_loglik_weibull /
+    acd_loglik_gengamma / acd_gof_residuals. The recompute
+    (tools/acd_loglik_recompute.py) is standalone numpy, zero engine
+    imports — the acd_cov_recompute pattern."""
+    import acd_loglik_recompute as LL
+
+    qs = entrymod.queries()
+    specs = [
+        (
+            "acd_fit_durations", LL.fit_rows,
+            ["key", "loglik0", "converged", "fit_improved"],
+            ["VARCHAR", "VARCHAR", "BOOLEAN", "BOOLEAN"],
+            lambda r: (r["key"], r["loglik0"], r["converged"], r["fit_improved"]),
+        ),
+        (
+            "acd_loglik_weibull", LL.weibull_rows,
+            ["key", "loglik_weibull"], ["VARCHAR", "VARCHAR"],
+            lambda r: (r["key"], r["loglik_weibull"]),
+        ),
+        (
+            "acd_loglik_gengamma", LL.gengamma_rows,
+            ["key", "loglik_gengamma"], ["VARCHAR", "VARCHAR"],
+            lambda r: (r["key"], r["loglik_gengamma"]),
+        ),
+        (
+            "acd_gof_residuals", LL.gof_rows,
+            ["key", "n", "lb_stat", "lb_pvalue", "excess_dispersion", "error"],
+            ["VARCHAR", "BIGINT", "VARCHAR", "VARCHAR", "VARCHAR", "VARCHAR"],
+            lambda r: (r["key"], r["n"], r["lb_stat"], r["lb_pvalue"],
+                       r["excess_dispersion"], r["error"]),
+        ),
+    ]
+    out = {}
+    for name, rows_fn, cols, types, rowkey in specs:
+        exp_rows = sorted(rows_fn(con, sf_dir))
+        got_rows = sorted(rowkey(r) for r in qs[name](spark, sf_dir).collect())
+        if got_rows != exp_rows:
+            diffs = [(g, e) for g, e in zip(got_rows, exp_rows) if g != e]
+            print(f"{name.upper()} MISMATCH: {len(diffs)} rows differ; "
+                  f"first: {diffs[:3]}")
+            return None
+        out[name] = to_values_sql(exp_rows, cols, types)
+    print(f"--- {sf_dir}: acd loglik/gof recomputes == engine "
+          f"({len(specs)} queries)")
+    return out
+
+
 def gen_one_sf(spark, entrymod, con, sf_dir: str, cov_only: bool = False) -> dict[str, str] | None:
     """Recompute + verify + render the frozen oracles for one sf dir.
     Returns {query: VALUES sql} or None on mismatch. ``cov_only`` skips
     the dedup trio — the pure-Python recompute is quadratic-ish in
     corpus size (all-pairs SimHash), impractical at sf1's 50 k docs,
-    while the covariance recompute stays cheap at any sf."""
+    while the covariance + loglik recomputes stay cheap at any sf."""
     import acd_cov_recompute as COV
 
     qs = entrymod.queries()
+    ll_sqls = gen_acd_loglik(spark, entrymod, con, sf_dir)
+    if ll_sqls is None:
+        return None
     cov_rows = COV.covariance_rows(con, sf_dir, COV_THETA, COV_BANDWIDTH)
     print(f"--- {sf_dir}: cov recompute {len(cov_rows)} rows")
     got_cov = sorted(
@@ -259,8 +316,8 @@ def gen_one_sf(spark, entrymod, con, sf_dir: str, cov_only: bool = False) -> dic
         ["VARCHAR", "INTEGER", "INTEGER", "VARCHAR", "VARCHAR"],
     )
     if cov_only:
-        print("engine output == independent recompute (cov only)")
-        return {"acd_covariance_durations": cov_sql}
+        print("engine output == independent recompute (cov + loglik only)")
+        return {"acd_covariance_durations": cov_sql, **ll_sqls}
 
     docs = con.execute(
         f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet') ORDER BY doc_id"
@@ -337,6 +394,7 @@ def gen_one_sf(spark, entrymod, con, sf_dir: str, cov_only: bool = False) -> dic
             ["BIGINT", "BIGINT", "INTEGER", "INTEGER", "DOUBLE"],
         ),
         "acd_covariance_durations": cov_sql,
+        **ll_sqls,
     }
 
 

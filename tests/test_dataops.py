@@ -726,3 +726,85 @@ def test_decimal_cents_tripwire(spark, sf_dir):
     ]
     hits = [p for p in banned if re.search(p, src, flags=re.IGNORECASE)]
     assert not hits, f"per-row double->DECIMAL cast reintroduced: {hits}"
+
+
+def test_jpeg_roundtrip_bounds():
+    # generic content through the baseline JFIF codec: decode(encode(x))
+    # must stay within the unit-quant error budget (DCT/coefficient
+    # rounding + BT.601 round trip); grayscale skips the color transform
+    # and tightens to ±1
+    from rust_timeseries_spark.operators import jpeg
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(37, 45, 3), dtype=np.uint8)
+    back = jpeg.decode_jpeg(jpeg.encode_jpeg(img))
+    diff = np.abs(back.astype(int) - img.astype(int))
+    assert diff.max() <= 4 and diff.mean() < 1.0, (diff.max(), diff.mean())
+
+    g = rng.integers(0, 256, size=(24, 31), dtype=np.uint8)
+    backg = jpeg.decode_jpeg(jpeg.encode_jpeg(g))
+    assert np.abs(backg.astype(int) - np.stack([g, g, g], 2).astype(int)).max() <= 1
+
+    # determinism
+    assert jpeg.encode_jpeg(img) == jpeg.encode_jpeg(img)
+
+    # real compression on smooth (block-structured) content
+    smooth = (np.arange(64)[:, None] // 8 * 16 + np.zeros((1, 64), int)).astype(np.uint8)
+    enc = jpeg.encode_jpeg(np.stack([smooth] * 3, 2))
+    assert len(enc) < 64 * 64 * 3 / 10, len(enc)
+
+
+def test_jpeg_block_constant_gray_bit_exact():
+    # the losslessness contract the MJPEG driver gate's closed-form
+    # oracle rests on: gray + per-8x8-block-constant + unit quant
+    # decodes back BIT-exactly (jpeg.py docstring derivation)
+    from rust_timeseries_spark.operators import jpeg, multimodal
+
+    for mid in range(10):
+        w, h, nf = multimodal.mjpeg_video_dims(mid)
+        for t in range(0, nf, 2):
+            rgb = multimodal.mjpeg_block_formula(mid, t, h, w)
+            assert np.array_equal(jpeg.decode_jpeg(jpeg.encode_jpeg(rgb)), rgb), (mid, t)
+
+
+def test_jpeg_rejects_unsupported_and_corrupt():
+    import pytest
+
+    from rust_timeseries_spark.operators import jpeg
+
+    with pytest.raises(ValueError, match="not a JPEG"):
+        jpeg.decode_jpeg(b"\x89PNG\r\n")
+    img = np.zeros((8, 8, 3), dtype=np.uint8)
+    enc = bytearray(jpeg.encode_jpeg(img))
+    # flip SOF0 (0xC0) to progressive (0xC2): must refuse, not misparse
+    sof = enc.find(b"\xff\xc0")
+    enc[sof + 1] = 0xC2
+    with pytest.raises(ValueError, match="baseline"):
+        jpeg.decode_jpeg(bytes(enc))
+    # truncated entropy segment
+    good = jpeg.encode_jpeg(img)
+    with pytest.raises(ValueError):
+        jpeg.decode_jpeg(good[: len(good) - 4] )
+    # 16-bit samples / wrong dtype at encode
+    with pytest.raises(ValueError):
+        jpeg.encode_jpeg(np.zeros((8, 8, 3), dtype=np.uint16))
+
+
+def test_mjpeg_avi_roundtrip():
+    import pytest
+
+    from rust_timeseries_spark.operators import multimodal
+
+    frames = np.stack(
+        [multimodal.mjpeg_block_formula(3, t, 24, 32) for t in range(5)]
+    )
+    payload = multimodal.encode_avi_mjpeg(frames, fps=24)
+    back, fps = multimodal.decode_avi(payload)
+    assert fps == 24 and np.array_equal(back, frames)
+    # compressed: smaller than the raw DIB container
+    raw = multimodal.encode_avi_raw(frames, fps=24)
+    assert len(payload) < len(raw) / 3, (len(payload), len(raw))
+    # unknown compression fourcc must fail loudly, not misdecode
+    bad = payload.replace(b"MJPG", b"H264", 2)  # strh handler + strf fourcc
+    with pytest.raises(ValueError, match="compression"):
+        multimodal.decode_avi(bad)

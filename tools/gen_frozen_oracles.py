@@ -154,6 +154,180 @@ def simhash_pairs_py(docs: list[tuple[int, str]]) -> dict[tuple[int, int], int]:
     return out
 
 
+# ---------------------------------------------------------------------------
+# parallel recompute path for big corpora (round-5 verdict item 4: the
+# sequential pure-Python recompute is impractical at sf1's 50 k docs).
+# Semantics are IDENTICAL to the sequential functions above — same
+# shingling, same xxh64 reimplementation, same band/bucket/agreement
+# math — only the execution strategy changes: doc-level hashing fans out
+# over a fork Pool, and the SimHash all-pairs Hamming runs as a blocked
+# numpy XOR + byte-LUT popcount instead of a Python pair loop (still an
+# independent algorithm from the engine's 8-chunk pigeonhole bucket
+# join — it checks recall, not just precision).
+# ---------------------------------------------------------------------------
+
+_PAR_THRESHOLD = 2000  # docs; below this the sequential path is fine
+_G_DOCS: list[tuple[int, str]] = []  # fork-shared corpus for Pool workers
+
+
+def _doc_hash_chunk(bounds: tuple[int, int]):
+    """Worker: MinHash signature + band hashes + SimHash code for
+    docs[lo:hi] of the fork-shared corpus."""
+    lo, hi = bounds
+    num_perm, k, seed = MINHASH["num_perm"], MINHASH["shingle_k"], MINHASH["seed"]
+    bands, rpb = MINHASH["bands"], MINHASH["rows_per_band"]
+    out = []
+    for doc_id, text in _G_DOCS[lo:hi]:
+        sh = shingles(text, k)
+        sig = []
+        for i in range(num_perm):
+            sig.append(min(spark_xxhash64(s, (seed + i, "int")) for s in sh))
+        bhs = []
+        for b in range(bands):
+            band_str = ",".join(str(sig[b * rpb + r]) for r in range(rpb))
+            bhs.append(spark_xxhash64(band_str, (b, "int")))
+        toks = text.split(" ") if text else []
+        sim = 0
+        if toks:
+            votes = [0] * 64
+            for w in toks:
+                h = spark_xxhash64(w) & 0xFFFFFFFFFFFFFFFF
+                for b in range(64):
+                    votes[b] += 1 if (h >> b) & 1 else -1
+            for b in range(64):
+                if votes[b] > 0:
+                    sim |= 1 << b
+        out.append((doc_id, sig, bhs, sim))
+    return out
+
+
+def _hash_corpus_parallel(docs: list[tuple[int, str]], procs: int):
+    """(sigs, band_buckets, sims) for the whole corpus, fanned out."""
+    import multiprocessing as mp
+
+    global _G_DOCS
+    _G_DOCS = docs
+    n = len(docs)
+    chunk = max(1, n // (procs * 8))
+    bounds = [(lo, min(lo + chunk, n)) for lo in range(0, n, chunk)]
+    with mp.get_context("fork").Pool(procs) as pool:
+        parts = pool.map(_doc_hash_chunk, bounds)
+    _G_DOCS = []
+    sigs: dict[int, list[int]] = {}
+    buckets: dict[tuple[int, int], list[int]] = {}
+    sims: list[tuple[int, int]] = []
+    for part in parts:
+        for doc_id, sig, bhs, sim in part:
+            sigs[doc_id] = sig
+            for b, bh in enumerate(bhs):
+                buckets.setdefault((b, bh), []).append(doc_id)
+            sims.append((doc_id, sim))
+    cands: set[tuple[int, int]] = set()
+    for ids in buckets.values():
+        ids = sorted(ids)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                cands.add((ids[i], ids[j]))
+    return sigs, cands, sims
+
+
+def _simhash_allpairs_np(sims: list[tuple[int, int]], max_h: int):
+    """Exact all-pairs Hamming ≤ max_h over 64-bit codes: blocked numpy
+    XOR + byte-LUT popcount (numpy 1.26 has no bitwise_count)."""
+    import numpy as np
+
+    sims = sorted(sims)  # (doc_id, code), ids ascending
+    ids = np.array([d for d, _ in sims], dtype=np.int64)
+    codes = np.array([c for _, c in sims], dtype=np.uint64)
+    lut = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+    n = len(codes)
+    out: dict[tuple[int, int], int] = {}
+    block = 512
+    for lo in range(0, n, block):
+        hi = min(lo + block, n)
+        x = codes[lo:hi, None] ^ codes[None, lo:]  # only j >= lo (upper tri)
+        d = lut[x.view(np.uint8).reshape(hi - lo, n - lo, 8)].sum(axis=2)
+        ii, jj = np.nonzero(d <= max_h)
+        for a, b in zip(ii.tolist(), jj.tolist()):
+            gi, gj = lo + a, lo + b
+            if gi < gj:
+                out[(int(ids[gi]), int(ids[gj]))] = int(d[a, b])
+    return out
+
+
+def minhash_simhash_lsh_big(docs: list[tuple[int, str]], procs: int = 30):
+    """(minhash_pairs, simhash_pairs, lsh_verified_pairs) for a big
+    corpus — one shared hashing fan-out, then the same pair math as the
+    sequential functions."""
+    num_perm, thr = MINHASH["num_perm"], MINHASH["threshold"]
+    k = MINHASH["shingle_k"]
+    sigs, cands, sims = _hash_corpus_parallel(docs, procs)
+    mh = {}
+    for a, b in cands:
+        agree = sum(1 for x, y in zip(sigs[a], sigs[b]) if x == y)
+        est = agree / num_perm
+        if est >= thr:
+            mh[(a, b)] = est
+    text_by_id = dict(docs)
+    need = {d for pair in cands for d in pair}
+    sets = {d: set(shingles(text_by_id[d], k)) for d in need}
+    lv = {}
+    for a, b in cands:
+        inter = len(sets[a] & sets[b])
+        union = len(sets[a] | sets[b])
+        j = inter / union
+        if j >= LSH_VERIFY_THRESHOLD:
+            lv[(a, b)] = (inter, union, j)
+    sh = _simhash_allpairs_np(sims, SIMHASH["max_hamming"])
+    return mh, sh, lv
+
+
+def emb_near_dup_py_big(con, sf_dir: str) -> dict[tuple[int, int], str]:
+    """Big-corpus variant of emb_near_dup_py: same hyperplanes/buckets,
+    but per-bucket candidate cosines go through a numpy GEMM *screen*
+    (threshold − 1e-6 slack), and every surviving pair is re-verified
+    with the same per-row pairwise reduction the sequential recompute
+    uses — so the frozen values are bit-identical to that path while
+    the pair enumeration stays out of Python loops."""
+    import numpy as np
+
+    nb, nt, seed, thr = (
+        EMB_ND["n_bits"], EMB_ND["n_tables"], EMB_ND["seed"], EMB_ND["threshold"]
+    )
+    rows = con.execute(
+        f"SELECT vec_id, embedding FROM read_parquet('{sf_dir}/embeddings.parquet') "
+        "ORDER BY vec_id"
+    ).fetchall()
+    ids = np.array([int(r[0]) for r in rows], dtype=np.int64)
+    M = np.array([r[1] for r in rows], dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((M.shape[1], nb * nt))
+    bits = (M @ planes) > 0
+    codes = bits.reshape(len(M), nt, nb) @ (1 << np.arange(nb, dtype=np.int64))
+    nrm = np.sqrt((M * M).sum(axis=1))
+    Mn = M / nrm[:, None]
+    out: dict[tuple[int, int], str] = {}
+    for t in range(nt):
+        buckets: dict[int, list[int]] = {}
+        for i, c in enumerate(codes[:, t]):
+            buckets.setdefault(int(c), []).append(i)
+        for idxs in buckets.values():
+            if len(idxs) < 2:
+                continue
+            sub = np.array(idxs, dtype=np.int64)
+            G = Mn[sub] @ Mn[sub].T  # screen only — exact recompute below
+            ii, jj = np.nonzero(np.triu(G >= thr - 1e-6, k=1))
+            for a, b in zip(ii.tolist(), jj.tolist()):
+                i, j = int(sub[a]), int(sub[b])
+                key = (int(ids[i]), int(ids[j])) if ids[i] < ids[j] else (int(ids[j]), int(ids[i]))
+                if key in out:
+                    continue
+                cos = float((M[i] * M[j]).sum()) / (nrm[i] * nrm[j])
+                if cos >= thr:
+                    out[key] = "%.5e" % cos
+    return out
+
+
 def _sql_literal(v) -> str:
     # floats go through a STRING cast: DuckDB types a bare decimal
     # literal as DECIMAL first, and DECIMAL→DOUBLE can differ from IEEE
@@ -324,10 +498,14 @@ def gen_one_sf(spark, entrymod, con, sf_dir: str, cov_only: bool = False) -> dic
     ).fetchall()
     print(f"--- {sf_dir}: {len(docs)} documents")
 
-    mh = minhash_pairs_py(docs)
-    sh = simhash_pairs_py(docs)
-    lv = lsh_verified_pairs_py(docs)
-    en = emb_near_dup_py(con, sf_dir)
+    if len(docs) > _PAR_THRESHOLD:
+        mh, sh, lv = minhash_simhash_lsh_big(docs)
+        en = emb_near_dup_py_big(con, sf_dir)
+    else:
+        mh = minhash_pairs_py(docs)
+        sh = simhash_pairs_py(docs)
+        lv = lsh_verified_pairs_py(docs)
+        en = emb_near_dup_py(con, sf_dir)
     print(f"independent recompute: minhash {len(mh)}, simhash {len(sh)}, "
           f"lsh-verified {len(lv)}, emb-near-dup {len(en)} pairs")
 
@@ -445,37 +623,70 @@ def main() -> int:
               f"{sorted(sf_sql)} — oracle_sql() aliases will be missing")
         return 1
 
-    out_path = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "oracle_frozen.py"
+    # entries above the size threshold (the sf1 SimHash / embedding
+    # result sets are hundreds of thousands of rows — a data artifact of
+    # the replicated scaledata corpus) go to a GITIGNORED sidecar:
+    # scaledata itself is regenerated, not committed, so its frozen
+    # oracles are too (tools/gen_scale_data.py then this tool).
+    # oracle_frozen.py merges the sidecar at import when present.
+    BIG = 2_000_000  # chars of rendered VALUES sql
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    main_sql: dict[str, dict[str, str]] = {}
+    big_sql: dict[str, dict[str, str]] = {}
+    for sf, entries in sf_sql.items():
+        for name, sql in entries.items():
+            dst = big_sql if len(sql) > BIG else main_sql
+            dst.setdefault(sf, {})[name] = sql
+
+    def _write(path: str, data: dict[str, dict[str, str]], header: str, tail: str = "") -> None:
+        with open(path, "w") as f:
+            f.write(header)
+            f.write("SF_SQL = {\n")
+            for sf in sorted(data, key=float):
+                f.write(f"    {sf!r}: {{\n")
+                for name, sql in data[sf].items():
+                    f.write(f"        {name!r}: '''\n{sql}\n''',\n")
+                f.write("    },\n")
+            f.write("}\n")
+            f.write(tail)
+
+    out_path = os.path.join(root, "oracle_frozen.py")
+    _write(
+        out_path, main_sql,
+        '"""FROZEN oracles for queries DuckDB cannot recompute live\n'
+        "(engine-hash dedup trio + fixed-theta covariance/loglik pipelines).\n\n"
+        "GENERATED by tools/gen_frozen_oracles.py — do not edit by hand.\n"
+        "Each VALUES literal was produced by an INDEPENDENT recompute of\n"
+        "the pipeline (see that tool's docstring) and verified identical\n"
+        "to the engine output before freezing.  Keyed by scale factor\n"
+        "(deterministic testdata, seed 42); oracle_sql() serves the\n"
+        'driver-gate scale, check_oracle.py selects by sf dir.\n"""\n\n'
+        f"DRIVER_SF = {DRIVER_SF!r}\n\n",
+        "\n# oversized entries (regenerable scaledata SFs) live in a\n"
+        "# gitignored sidecar — merge when present\n"
+        "try:\n"
+        "    from oracle_frozen_big import SF_SQL as _BIG_SF_SQL\n"
+        "\n"
+        "    for _sf, _qs in _BIG_SF_SQL.items():\n"
+        "        SF_SQL.setdefault(_sf, {}).update(_qs)\n"
+        "except ImportError:\n"
+        "    pass\n\n"
+        "# legacy driver-scale aliases\n"
+        "SF = DRIVER_SF\n"
+        "MINHASH_LSH_SQL = SF_SQL[DRIVER_SF]['dedup_minhash_lsh']\n"
+        "SIMHASH_SQL = SF_SQL[DRIVER_SF]['dedup_simhash']\n"
+        "LSH_VERIFIED_SQL = SF_SQL[DRIVER_SF]['lsh_jaccard_verify']\n"
+        "ACD_COVARIANCE_SQL = SF_SQL[DRIVER_SF]['acd_covariance_durations']\n",
     )
-    with open(out_path, "w") as f:
-        f.write(
-            '"""FROZEN oracles for queries DuckDB cannot recompute live\n'
-            "(engine-hash dedup trio + fixed-theta covariance pipeline).\n\n"
-            "GENERATED by tools/gen_frozen_oracles.py — do not edit by hand.\n"
-            "Each VALUES literal was produced by an INDEPENDENT recompute of\n"
-            "the pipeline (see that tool's docstring) and verified identical\n"
-            "to the engine output before freezing.  Keyed by scale factor\n"
-            "(deterministic testdata, seed 42); oracle_sql() serves the\n"
-            'driver-gate scale, check_oracle.py selects by sf dir.\n"""\n\n'
-            f"DRIVER_SF = {DRIVER_SF!r}\n\n"
-            "SF_SQL = {\n"
+    if big_sql:
+        _write(
+            os.path.join(root, "oracle_frozen_big.py"), big_sql,
+            '"""GITIGNORED sidecar of oversized frozen oracles (regenerable\n'
+            "scaledata scale factors). GENERATED by tools/gen_frozen_oracles.py;\n"
+            'merged into oracle_frozen.SF_SQL at import when present.\n"""\n\n',
         )
-        for sf in sorted(sf_sql, key=float):
-            f.write(f"    {sf!r}: {{\n")
-            for name, sql in sf_sql[sf].items():
-                f.write(f"        {name!r}: '''\n{sql}\n''',\n")
-            f.write("    },\n")
-        f.write("}\n\n")
-        f.write(
-            "# legacy driver-scale aliases\n"
-            "SF = DRIVER_SF\n"
-            "MINHASH_LSH_SQL = SF_SQL[DRIVER_SF]['dedup_minhash_lsh']\n"
-            "SIMHASH_SQL = SF_SQL[DRIVER_SF]['dedup_simhash']\n"
-            "LSH_VERIFIED_SQL = SF_SQL[DRIVER_SF]['lsh_jaccard_verify']\n"
-            "ACD_COVARIANCE_SQL = SF_SQL[DRIVER_SF]['acd_covariance_durations']\n"
-        )
-    print(f"wrote {out_path}: {sorted(sf_sql)} × {list(next(iter(sf_sql.values())))}")
+    print(f"wrote {out_path}: {sorted(sf_sql)} × {list(next(iter(sf_sql.values())))}"
+          + (f"; sidecar: { {sf: sorted(qs) for sf, qs in big_sql.items()} }" if big_sql else ""))
     return 0
 
 

@@ -178,3 +178,74 @@ def test_pipeline_lineage_metrics_and_ewma_resume(spark, raw, tmp_path):
     for r in cont:
         assert r["t"] > wm_ts[r["source"]]
         assert expected[r["source"]][r["t"]] == r["psi"], (r["source"], r["t"])
+
+
+def test_iceberg_ddl_contract_text():
+    # the cluster contract is pinned: drift in any emitted statement is
+    # a contract change and must be reviewed here
+    from rust_timeseries_spark.plans.iceberg_ddl import IcebergTierPlan
+
+    p = IcebergTierPlan(catalog="lake", namespace="tiers", table_prefix="tokens")
+    confs = p.session_confs()
+    assert confs["spark.sql.catalog.lake"] == "org.apache.iceberg.spark.SparkCatalog"
+    assert confs["spark.sql.extensions"].endswith("IcebergSparkSessionExtensions")
+    assert confs["spark.sql.catalog.lake.type"] == "rest"
+    assert "iceberg-spark-runtime" in confs["spark.jars.packages"]
+
+    ddl = p.create_table("1m")
+    assert "CREATE TABLE IF NOT EXISTS lake.tiers.tokens_1m" in ddl
+    assert "PARTITIONED BY (bucket_day)" in ddl
+    assert "'format-version' = '2'" in ddl
+    assert "PARTITIONED BY" not in p.create_table("1d")  # 1d is unpartitioned
+
+    ow = p.overwrite_dirty_days("1m", [0, 86400])
+    assert ow == (
+        "INSERT OVERWRITE lake.tiers.tokens_1m\n"
+        "SELECT * FROM tmp_view\n"
+        "WHERE bucket_day IN (0, 86400)"
+    )
+
+    mg = p.merge_upsert("1m")
+    assert "MERGE INTO lake.tiers.tokens_1m t" in mg
+    assert "ON t.source = s.source AND t.bucket_ts = s.bucket_ts" in mg
+    assert "t.tok_sum = t.tok_sum + s.tok_sum" in mg
+    assert "t.tok_min = LEAST(t.tok_min, s.tok_min)" in mg
+    assert "t.tok_max = GREATEST(t.tok_max, s.tok_max)" in mg
+
+    exp = p.expire_sql("1h", 864000)
+    assert exp[0] == "DELETE FROM lake.tiers.tokens_1h WHERE bucket_day < 864000"
+    assert "expire_snapshots" in exp[1] and "lake.system" in exp[1]
+    assert "rewrite_data_files" in p.compact_call("1h")
+    assert "remove_orphan_files" in p.remove_orphans_call("1h")
+
+    import pytest
+    with pytest.raises(ValueError):
+        p.expire_sql("1d", 0)
+    with pytest.raises(ValueError):
+        p.overwrite_dirty_days("1d", [0])
+
+    doc = p.render()
+    for frag in ("-- session configs", "-- DDL", "-- incremental maintenance",
+                 "-- streaming late-row MERGE", "-- retention", "-- compaction"):
+        assert frag in doc
+
+
+def test_iceberg_ddl_statements_parse(spark):
+    # the SQL statements must be valid Spark SQL: run them through the
+    # session's parser (catalog resolution is a cluster concern, parsing
+    # is not). CALL procedures are Iceberg-extension grammar and are
+    # text-pinned above instead.
+    from rust_timeseries_spark.plans.iceberg_ddl import IcebergTierPlan
+
+    p = IcebergTierPlan()
+    parser = spark._jsparkSession.sessionState().sqlParser()
+    stmts = [
+        *p.create_tables(),
+        p.overwrite_dirty_days("1m", [0, 86400]),
+        p.overwrite_dirty_days("1h", [0]),
+        p.merge_upsert("1m"),
+        p.merge_upsert("1d"),
+        p.expire_sql("1m", 123)[0],
+    ]
+    for s in stmts:
+        parser.parsePlan(s)  # raises ParseException on bad syntax

@@ -97,6 +97,8 @@ def main() -> None:
         "compression_roundtrip",
         "topk_sources",
         "distinct_users_1d",
+        "asof_join_1h",
+        "interval_join_1d",
     ]
     qs = entrymod.queries()
 

@@ -131,6 +131,33 @@ def main() -> None:
     checks.append(("arrow encode: one hash Exchange + in-partition sort, no range shuffle",
                    "MapInArrow" in plan and not has_range and n_ex <= 2, plan))
 
+    # 12. as-of join: union + ordered window — exactly one hash
+    # Exchange on the key, never a nested-loop/cartesian join
+    from rust_timeseries_spark.operators import asof as asof_ops
+
+    pts = ev.selectExpr("event_type", "cast(0 as long) + event_id as t")
+    # right side deliberately shuffle-free (a pre-aggregated tier would
+    # contribute its OWN upstream Exchange) so the count isolates the
+    # operator's cost: exactly one
+    right = ev.selectExpr("event_type", "event_id as t", "value")
+    plan = explain_str(asof_ops.asof_join(pts, right, ["event_type"], tolerance=1800))
+    n_ex = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    checks.append(("asof join: one hash Exchange, window carry, no BNL join",
+                   "BroadcastNestedLoopJoin" not in plan
+                   and "CartesianProduct" not in plan and n_ex == 1, plan))
+
+    # 13. interval join: bucket-explode equi-join + refine — a real
+    # hash/sort-merge join on (key, bucket), never BNL/cartesian (what
+    # a naive `t BETWEEN s AND e` join would plan)
+    ivl = t1h.selectExpr("event_type", "bucket_ts as istart", "bucket_ts + 7200 as iend")
+    plan = explain_str(asof_ops.interval_join(
+        pts, ivl, ["event_type"], start_col="istart", end_col="iend", bucket_width=7200))
+    checks.append(("interval join: bucketed equi-join, no cartesian",
+                   "BroadcastNestedLoopJoin" not in plan
+                   and "CartesianProduct" not in plan
+                   and ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+                        or "BroadcastHashJoin" in plan), plan))
+
     failures = 0
     for name, ok, plan in checks:
         print(f"[{'ok' if ok else 'FAIL'}] {name}")

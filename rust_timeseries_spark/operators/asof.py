@@ -57,11 +57,24 @@ def asof_join(
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    # reserved-name guard: the construction owns _ts/_is_right/_rrow
+    # (review r5 — a silent collision would corrupt the union schema)
+    reserved = {"_ts", "_is_right", "_rrow"}
+    bad = sorted(reserved & (set(left.columns) | set(right.columns)))
+    if bad:
+        raise ValueError(f"input columns collide with asof_join internals: {bad}")
     value_cols = [c for c in right.columns if c not in keys and c != right_ts]
     clash = set(value_cols) & set(left.columns)
     out_names = {c: (c + suffix if c in clash else c) for c in value_cols}
+    # chaining guard (review r5): a left input that already carries a
+    # matched_ts from a previous asof_join gets the suffixed name
+    # instead of an ambiguous duplicate
+    mt_name = "matched_ts" + suffix if "matched_ts" in left.columns else "matched_ts"
 
-    r_tagged = right.select(
+    # right rows with a null timestamp can never be the latest match —
+    # drop them up front (they would otherwise sort first and pollute
+    # the carry struct)
+    r_tagged = right.where(F.col(right_ts).isNotNull()).select(
         *keys,
         F.col(right_ts).alias("_ts"),
         F.lit(1).alias("_is_right"),
@@ -80,6 +93,22 @@ def asof_join(
     cols = [*keys, "_ts", "_is_right", *lefts_minus, *[f"_rv_{c}" for c in value_cols]]
     both = r_full.select(*cols).unionByName(l_tagged.select(*cols))
 
+    # the matched right row is carried as ONE struct (review r5): with
+    # per-column last(ignorenulls), a matched right row holding a NULL
+    # value column would fall through to a STALE earlier row's value —
+    # the struct is non-null exactly for right rows, so nulls inside it
+    # travel with their own row
+    both = both.withColumn(
+        "_rrow",
+        F.when(
+            F.col("_is_right") == 1,
+            F.struct(
+                F.col("_ts").alias("ts"),
+                *[F.col(f"_rv_{c}").alias(c) for c in value_cols],
+            ),
+        ),
+    )
+
     # right rows sort BEFORE left rows at equal time (backward join is
     # inclusive); forward mirrors by negating the time
     order_ts = F.col("_ts") if direction == "backward" else (-F.col("_ts"))
@@ -90,34 +119,27 @@ def asof_join(
     )
     carried = both.select(
         *cols,
-        F.last(F.when(F.col("_is_right") == 1, F.col("_ts")), ignorenulls=True)
-        .over(w).alias("_matched_ts"),
-        *[
-            F.last(F.when(F.col("_is_right") == 1, F.col(f"_rv_{c}")), ignorenulls=True)
-            .over(w).alias(f"_m_{c}")
-            for c in value_cols
-        ],
+        F.last("_rrow", ignorenulls=True).over(w).alias("_m"),
     ).where(F.col("_is_right") == 0)
 
+    matched_ts = F.col("_m.ts")
     if tolerance is not None:
         gap = (
-            F.col("_ts") - F.col("_matched_ts")
+            F.col("_ts") - matched_ts
             if direction == "backward"
-            else F.col("_matched_ts") - F.col("_ts")
+            else matched_ts - F.col("_ts")
         )
-        ok = F.col("_matched_ts").isNotNull() & (gap <= F.lit(tolerance))
-        carried = carried.select(
+        ok = matched_ts.isNotNull() & (gap <= F.lit(tolerance))
+        return carried.select(
             *keys, *lefts_minus,
-            F.when(ok, F.col("_matched_ts")).alias("matched_ts"),
-            *[F.when(ok, F.col(f"_m_{c}")).alias(out_names[c]) for c in value_cols],
+            F.when(ok, matched_ts).alias(mt_name),
+            *[F.when(ok, F.col(f"_m.{c}")).alias(out_names[c]) for c in value_cols],
         )
-    else:
-        carried = carried.select(
-            *keys, *lefts_minus,
-            F.col("_matched_ts").alias("matched_ts"),
-            *[F.col(f"_m_{c}").alias(out_names[c]) for c in value_cols],
-        )
-    return carried
+    return carried.select(
+        *keys, *lefts_minus,
+        matched_ts.alias(mt_name),
+        *[F.col(f"_m.{c}").alias(out_names[c]) for c in value_cols],
+    )
 
 
 def interval_join(
@@ -152,7 +174,13 @@ def interval_join(
         bucket_width = max(1, int(mx or 1))
     wlit = F.lit(int(bucket_width))
 
+    # clamp: a zero-length interval (end == start, exclusive) or an
+    # inverted one (bad data) must NOT produce a descending sequence —
+    # Spark's sequence(b, b-1) runs BACKWARD, exploding spurious bucket
+    # rows (review r5; output stayed correct via the refine, but the
+    # replication was unbounded for inverted intervals)
     last_in = F.col(end_col) if end_inclusive else (F.col(end_col) - 1)
+    last_in = F.greatest(last_in, F.col(start_col))
     ivl_b = intervals.withColumn(
         "_b",
         F.explode(

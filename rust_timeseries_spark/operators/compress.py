@@ -40,6 +40,13 @@ def compress_tier(
 ) -> DataFrame:
     """Pack a tier table into per-(keys, block_start) binary blocks.
 
+    Key-domain note (review r5): a float key containing a real NaN is
+    unsupported on THIS grouped path — Spark's applyInPandas raises
+    ("Value at index is null") when a grouping key is NaN.
+    ``compress_tier_arrow`` handles NaN keys with Spark SQL's groupBy
+    semantics (canonicalized NaN = one group, pinned by
+    tests/test_compression.py::test_compress_tier_arrow_nan_float_keys).
+
     Output schema: keys..., block_start long (epoch s), n_points int,
     ts_blob binary, ``<col>_blob`` binary per value column,
     raw_bytes/enc_bytes long (compression accounting).
@@ -158,13 +165,23 @@ def compress_tier_arrow(
         # into its own group — diverging from the grouped applyInPandas
         # path, which groups nulls together. Null-mask the compare:
         # null==null counts as "no change", null vs non-null as a cut.
+        # A real (non-null) float NaN key needs the same treatment
+        # (review r5): Spark's groupBy canonicalizes NaN, so adjacent
+        # NaN rows are ONE group there — both-NaN is "no change" here
+        # too (and NaN vs anything else breaks, which the plain compare
+        # already gives).
         change = np.zeros(n, dtype=bool)
         change[0] = True
         for arr, nulls in kv:
             neq = arr[1:] != arr[:-1]
-            both_null = nulls[1:] & nulls[:-1]
-            either_null = nulls[1:] ^ nulls[:-1]
-            change[1:] |= (neq & ~both_null) | either_null
+            # same = equal non-nulls | both null | both (non-null) NaN;
+            # every mixed case (incl. null vs non-null) is a cut
+            same = ~neq & ~nulls[1:] & ~nulls[:-1]
+            same |= nulls[1:] & nulls[:-1]
+            if np.issubdtype(arr.dtype, np.floating):
+                nan = np.isnan(arr) & ~nulls
+                same |= nan[1:] & nan[:-1]
+            change[1:] |= ~same
         return change
 
     def _encode_groups(tbl: "pa.Table"):

@@ -332,8 +332,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         if payload[pos] != 0xFF:
             raise ValueError(f"marker expected at {pos}")
         marker = payload[pos + 1]
-        if marker == 0xD9:  # EOI
-            break
+        if marker == 0xD9:
+            # EOI before any SOS: there is no scan to decode — raising
+            # here (instead of break) keeps a truncated stream from
+            # silently decoding to a solid-gray frame (review r5)
+            raise ValueError("JPEG scan not found (EOI before SOS)")
         seglen = struct.unpack_from(">H", payload, pos + 2)[0]
         body = payload[pos + 4 : pos + 2 + seglen]
         if marker == 0xDB:  # DQT (possibly several tables per segment)

@@ -108,3 +108,44 @@ def test_interval_join_rejects_column_clash(spark):
     iv = _df(spark, [("a", 0, 10)], "k string, start long, end long")
     with pytest.raises(ValueError, match="clash"):
         asof.interval_join(p, iv, ["k"])
+
+
+def test_asof_null_right_value_not_stale(spark):
+    # review r5 (CONFIRMED bug): the matched right row's NULL value must
+    # NOT fall through to a stale earlier row's value — the right row is
+    # carried as one struct
+    left = _df(spark, [("a", 25, 0)], "k string, t long, z int")
+    right = _df(spark, [("a", 10, 5.0), ("a", 20, None)], "k string, t long, v double")
+    r = asof.asof_join(left, right, ["k"]).collect()[0]
+    assert r["matched_ts"] == 20 and r["v"] is None, r
+    # and a null right TIMESTAMP row is dropped, not carried
+    right2 = _df(spark, [("a", None, 9.0), ("a", 10, 5.0)], "k string, t long, v double")
+    r2 = asof.asof_join(left, right2, ["k"]).collect()[0]
+    assert r2["matched_ts"] == 10 and r2["v"] == 5.0, r2
+
+
+def test_asof_chaining_two_joins(spark):
+    # review r5 (CONFIRMED bug): chained enrichment joins must not
+    # produce an ambiguous matched_ts
+    left = _df(spark, [("a", 25, 0)], "k string, t long, z int")
+    r1 = _df(spark, [("a", 10, 1.0)], "k string, t long, v double")
+    r2 = _df(spark, [("a", 20, 2.0)], "k string, t long, w double")
+    out = asof.asof_join(asof.asof_join(left, r1, ["k"]), r2, ["k"])
+    row = out.collect()[0]
+    assert row["matched_ts"] == 10 and row["v"] == 1.0        # first join
+    assert row["matched_ts_r"] == 20 and row["w"] == 2.0      # second join
+    # internal-name collision fails loudly
+    bad = _df(spark, [("a", 1, 2)], "k string, t long, _is_right int")
+    with pytest.raises(ValueError, match="internals"):
+        asof.asof_join(bad, r1, ["k"])
+
+
+def test_interval_join_degenerate_intervals_bounded(spark):
+    # review r5: zero-length (exclusive) and inverted intervals must not
+    # explode descending sequences; output is empty, replication bounded
+    p = _df(spark, [("a", 5, 0)], "k string, t long, pid long")
+    iv = _df(spark, [("a", 5, 5, 0), ("a", 100, 3, 1)],
+             "k string, istart long, iend long, iid long")
+    out = asof.interval_join(p, iv, ["k"], start_col="istart", end_col="iend",
+                             bucket_width=2)
+    assert out.count() == 0

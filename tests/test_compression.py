@@ -346,3 +346,50 @@ def test_compress_tier_arrow_null_keys_match_grouped(spark):
         finally:
             spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
         assert got == exp
+
+
+def test_compress_tier_arrow_nan_float_keys(spark):
+    # review r5: a real (non-null) NaN float key must form ONE group per
+    # block in the arrow path, mirroring Spark SQL's NaN-canonicalizing
+    # groupBy. (The grouped applyInPandas path cannot express this
+    # fixture at all — Spark raises "Value at index is null" when an
+    # applyInPandas grouping key is NaN — so the NaN group is pinned
+    # against a direct recompute and the non-NaN groups against
+    # compress_tier on the NaN-free subset.)
+    from pyspark.sql import functions as F
+
+    from rust_timeseries_spark import datagen
+    from rust_timeseries_spark.operators import compress, rollup
+
+    df = datagen.with_event_time(datagen.token_table(spark, 900))
+    t1h = rollup.rollup_raw(df, "1h", epoch=True)
+    t = t1h.withColumn(
+        "source",
+        F.when(F.col("source") == "web", F.lit(float("nan")))
+        .otherwise(F.length("source").cast("double")),
+    )
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+        rows = compress.compress_tier_arrow(t, "1d").collect()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+    nan_rows = [r for r in rows if r["source"] != r["source"]]
+    nan_days = t.where(F.isnan("source")).select(
+        (F.col("bucket_ts") - F.col("bucket_ts") % 86400).alias("d")
+    ).distinct().count()
+    # exactly one block per (NaN, day): adjacent NaN keys did not split
+    assert len(nan_rows) == nan_days > 0
+    assert len({r["block_start"] for r in nan_rows}) == len(nan_rows)
+    # point totals conserved for the NaN group
+    n_nan_points = t.where(F.isnan("source")).count()
+    assert sum(r["n_points"] for r in nan_rows) == n_nan_points
+
+    # non-NaN groups byte-match the grouped path on the NaN-free subset
+    sub = t.where(~F.isnan("source"))
+    exp = {(r["source"], r["block_start"]): r.asDict()
+           for r in compress.compress_tier(sub, "1d").collect()}
+    got = {(r["source"], r["block_start"]): r.asDict()
+           for r in rows if r["source"] == r["source"]}
+    assert got == exp

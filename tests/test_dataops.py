@@ -808,3 +808,18 @@ def test_mjpeg_avi_roundtrip():
     bad = payload.replace(b"MJPG", b"H264", 2)  # strh handler + strf fourcc
     with pytest.raises(ValueError, match="compression"):
         multimodal.decode_avi(bad)
+
+
+def test_jpeg_eoi_before_sos_raises():
+    # review r5: a stream with headers + EOI but no SOS must raise, not
+    # decode to a solid-gray frame
+    import pytest
+
+    from rust_timeseries_spark.operators import jpeg
+
+    img = np.zeros((8, 8, 3), dtype=np.uint8)
+    enc = jpeg.encode_jpeg(img)
+    sos = enc.find(b"\xff\xda")
+    headless = enc[:sos] + b"\xff\xd9"
+    with pytest.raises(ValueError, match="scan not found"):
+        jpeg.decode_jpeg(headless)

@@ -58,22 +58,45 @@ def shingles(text: str, k: int) -> list[str]:
     return [" ".join(ws)]
 
 
-def _lsh_candidates_py(docs: list[tuple[int, str]]):
-    """Shared stage: signatures + band-bucket candidate pairs."""
+def _doc_hashes(text: str) -> tuple[list[int], list[int], int]:
+    """Per-doc (MinHash signature, band hashes, SimHash code) — the ONE
+    implementation shared by the sequential and parallel recompute
+    paths (review r5: two copies selected by corpus size could drift
+    apart silently; generation only cross-checks against the engine,
+    not between the two paths)."""
     num_perm, k, seed = MINHASH["num_perm"], MINHASH["shingle_k"], MINHASH["seed"]
     bands, rpb = MINHASH["bands"], MINHASH["rows_per_band"]
+    sh = shingles(text, k)
+    sig = []
+    for i in range(num_perm):
+        # F.xxhash64(shingle, F.lit(seed+i)) — int literal child
+        sig.append(min(spark_xxhash64(s, (seed + i, "int")) for s in sh))
+    bhs = []
+    for b in range(bands):
+        band_str = ",".join(str(sig[b * rpb + r]) for r in range(rpb))
+        bhs.append(spark_xxhash64(band_str, (b, "int")))
+    toks = text.split(" ") if text else []
+    sim = 0
+    if toks:
+        votes = [0] * 64
+        for w in toks:
+            h = spark_xxhash64(w) & 0xFFFFFFFFFFFFFFFF  # unsigned view
+            for b in range(64):
+                votes[b] += 1 if (h >> b) & 1 else -1
+        for b in range(64):
+            if votes[b] > 0:
+                sim |= 1 << b
+    return sig, bhs, sim
+
+
+def _lsh_candidates_py(docs: list[tuple[int, str]]):
+    """Shared stage: signatures + band-bucket candidate pairs."""
     sigs: dict[int, list[int]] = {}
     buckets: dict[tuple[int, int], list[int]] = {}
     for doc_id, text in docs:
-        sh = shingles(text, k)
-        sig = []
-        for i in range(num_perm):
-            # F.xxhash64(shingle, F.lit(seed+i)) — int literal child
-            sig.append(min(spark_xxhash64(s, (seed + i, "int")) for s in sh))
+        sig, bhs, _sim = _doc_hashes(text)
         sigs[doc_id] = sig
-        for b in range(bands):
-            band_str = ",".join(str(sig[b * rpb + r]) for r in range(rpb))
-            bh = spark_xxhash64(band_str, (b, "int"))
+        for b, bh in enumerate(bhs):
             buckets.setdefault((b, bh), []).append(doc_id)
     cands: set[tuple[int, int]] = set()
     for ids in buckets.values():
@@ -130,17 +153,7 @@ def simhash_pairs_py(docs: list[tuple[int, str]]) -> dict[tuple[int, int], int]:
     max_h = SIMHASH["max_hamming"]
     sims: list[tuple[int, int]] = []
     for doc_id, text in docs:
-        toks = text.split(" ") if text else []
-        sim = 0
-        if toks:
-            votes = [0] * 64
-            for w in toks:
-                h = spark_xxhash64(w) & 0xFFFFFFFFFFFFFFFF  # unsigned view
-                for b in range(64):
-                    votes[b] += 1 if (h >> b) & 1 else -1
-            for b in range(64):
-                if votes[b] > 0:
-                    sim |= 1 << b
+        _sig, _bhs, sim = _doc_hashes(text)
         sims.append((doc_id, sim))
     out = {}
     for i in range(len(sims)):
@@ -171,32 +184,12 @@ _G_DOCS: list[tuple[int, str]] = []  # fork-shared corpus for Pool workers
 
 
 def _doc_hash_chunk(bounds: tuple[int, int]):
-    """Worker: MinHash signature + band hashes + SimHash code for
+    """Worker: per-doc hashes (via the shared ``_doc_hashes``) for
     docs[lo:hi] of the fork-shared corpus."""
     lo, hi = bounds
-    num_perm, k, seed = MINHASH["num_perm"], MINHASH["shingle_k"], MINHASH["seed"]
-    bands, rpb = MINHASH["bands"], MINHASH["rows_per_band"]
     out = []
     for doc_id, text in _G_DOCS[lo:hi]:
-        sh = shingles(text, k)
-        sig = []
-        for i in range(num_perm):
-            sig.append(min(spark_xxhash64(s, (seed + i, "int")) for s in sh))
-        bhs = []
-        for b in range(bands):
-            band_str = ",".join(str(sig[b * rpb + r]) for r in range(rpb))
-            bhs.append(spark_xxhash64(band_str, (b, "int")))
-        toks = text.split(" ") if text else []
-        sim = 0
-        if toks:
-            votes = [0] * 64
-            for w in toks:
-                h = spark_xxhash64(w) & 0xFFFFFFFFFFFFFFFF
-                for b in range(64):
-                    votes[b] += 1 if (h >> b) & 1 else -1
-            for b in range(64):
-                if votes[b] > 0:
-                    sim |= 1 << b
+        sig, bhs, sim = _doc_hashes(text)
         out.append((doc_id, sig, bhs, sim))
     return out
 
@@ -645,7 +638,9 @@ def main() -> int:
             for sf in sorted(data, key=float):
                 f.write(f"    {sf!r}: {{\n")
                 for name, sql in data[sf].items():
-                    f.write(f"        {name!r}: '''\n{sql}\n''',\n")
+                    # strip then re-wrap: keeps regeneration idempotent
+                    # (carried-over entries must not accrete blank lines)
+                    f.write(f"        {name!r}: '''\n{sql.strip()}\n''',\n")
                 f.write("    },\n")
             f.write("}\n")
             f.write(tail)

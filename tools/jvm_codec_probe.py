@@ -23,7 +23,9 @@ the JVM path iff ≥1.5× the arrow path at byte identity; otherwise this
 probe IS the written infeasibility evidence (numbers go to
 BENCH/BASELINE.md §3a).
 
-Usage: python tools/jvm_codec_probe.py [sf_dir] [repeats]
+Usage: python tools/jvm_codec_probe.py [n_values] [repeats]
+       (synthesizes its own minute-tier input — the sf0.1 tier is too
+       small to move either path past fixed job overhead)
 """
 
 from __future__ import annotations

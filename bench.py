@@ -99,6 +99,8 @@ def main() -> None:
         "distinct_users_1d",
         "asof_join_1h",
         "interval_join_1d",
+        "doc_split_stats",
+        "doc_pack_1k",
     ]
     qs = entrymod.queries()
 

@@ -1,0 +1,156 @@
+"""Deterministic sampling / splitting / sequence packing for
+training-data pipelines.
+
+Reference scope note: the reference engine has no sampling surface
+(SURVEY §2); these are the graft-added operators a corpus pipeline
+needs before any statistics run — a STABLE train/val/test assignment
+(adding documents later must not reshuffle earlier assignments, unlike
+``df.randomSplit``), rate sampling with the same stability, and greedy
+sequence packing into fixed-token-budget bins.
+
+Two hash families, chosen by oracle-ability:
+
+* ``stable_split`` / ``stable_sample`` use Fibonacci multiplicative
+  hashing — ``h = (fold(id) * 2654435761) mod 2³²`` with
+  ``fold(id) = (id mod 2³¹) XOR (id div 2³¹)`` (Knuth's golden-ratio
+  constant; public, designed exactly for scrambling sequential ids;
+  the XOR fold keeps high id bits contributing while bounding the
+  product inside int64). Pure BIGINT arithmetic both Spark and any SQL
+  engine execute identically, so the driver gate has a LIVE SQL
+  oracle. Domain: 0 ≤ id < 2⁶² — past it BOTH engines fail loudly
+  (ANSI overflow) rather than wrap.
+* ``stable_split_xxh`` uses ``F.xxhash64`` for arbitrary / composite /
+  string keys at any scale — engine-side only (DuckDB has no xxhash64;
+  the pure-Python reimpl in ``functions/xxh64.py`` backs frozen-oracle
+  verification if ever gated).
+
+``pack_sequences`` is the LLM training-batch step: documents ordered
+within a shard are packed first-fit-contiguous into bins of
+``max_tokens`` (a doc longer than the budget gets its own bin). The
+fold is non-associative (bin boundaries depend on the running
+remainder), so — like the ψ/EWMA recursions — it runs as one
+``applyInPandas`` pass per shard with a vectorized inner loop; shards
+are hash-assigned so the pattern scales by adding shards, which is
+exactly how production packers distribute (order within a shard is the
+deterministic contract, order across shards is irrelevant).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Knuth's multiplicative constant: floor(2^32 / golden ratio), odd
+KNUTH32 = 2654435761
+_M32 = 1 << 32
+
+
+def stable_hash32(id_col) -> "F.Column":
+    """Fibonacci multiplicative hash of a non-negative integral id into
+    [0, 2³²) — identical integer arithmetic on every SQL engine. The
+    31-bit XOR fold keeps the product inside int64 for any id < 2⁶²
+    (the sf1 scaledata ids reach 9×10⁹, past the unfolded 3.4×10⁹
+    bound)."""
+    c = F.col(id_col).cast("long")
+    # DIV, not float division: a double quotient loses exactness past
+    # 2^53 and this hash must be bit-stable at any id
+    hi = F.expr(f"CAST({id_col} AS BIGINT) DIV {1 << 31}")
+    folded = F.pmod(c, F.lit(1 << 31)).bitwiseXOR(hi)
+    return F.pmod(folded * F.lit(KNUTH32), F.lit(_M32))
+
+
+def stable_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: dict[str, int] | None = None,
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign each row a deterministic split label. ``weights`` maps
+    label → integer share out of their sum (default train/val/test =
+    8/1/1). Adding new rows later never changes existing assignments."""
+    weights = weights if weights is not None else {"train": 8, "val": 1, "test": 1}
+    total = sum(weights.values())
+    slot = F.pmod(stable_hash32(id_col), F.lit(total))
+    expr = None
+    lo = 0
+    for label, w in weights.items():
+        cond = (slot >= lo) & (slot < lo + w)
+        expr = F.when(cond, label) if expr is None else expr.when(cond, label)
+        lo += w
+    return df.withColumn(out_col, expr)
+
+
+def stable_sample(df: DataFrame, rate: float, id_col: str = "doc_id") -> DataFrame:
+    """Keep ~``rate`` of rows, deterministically by id — the same rows
+    every run, on every engine, at any partitioning."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0,1], got {rate}")
+    return df.where(stable_hash32(id_col) < int(rate * _M32))
+
+
+def stable_split_xxh(
+    df: DataFrame,
+    key_cols: list[str],
+    weights: dict[str, int] | None = None,
+    out_col: str = "split",
+    seed: int = 42,
+) -> DataFrame:
+    """``stable_split`` for arbitrary/composite/string keys at any
+    scale, via xxhash64 (engine-side; no live SQL oracle)."""
+    weights = weights if weights is not None else {"train": 8, "val": 1, "test": 1}
+    total = sum(weights.values())
+    slot = F.pmod(F.xxhash64(*[F.col(c) for c in key_cols], F.lit(seed)), F.lit(total))
+    expr = None
+    lo = 0
+    for label, w in weights.items():
+        cond = (slot >= lo) & (slot < lo + w)
+        expr = F.when(cond, label) if expr is None else expr.when(cond, label)
+        lo += w
+    return df.withColumn(out_col, expr)
+
+
+def pack_sequences(
+    df: DataFrame,
+    max_tokens: int,
+    n_shards: int,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    shard_col: str = "shard",
+) -> DataFrame:
+    """First-fit-contiguous packing: within each shard (hash of id mod
+    ``n_shards``), documents in ascending ``id_col`` order fill a bin
+    until the next doc would exceed ``max_tokens``, then a new bin
+    starts. A single doc longer than the budget occupies its own bin
+    (truncation is the caller's policy). Adds ``shard`` and ``bin_id``
+    columns.
+
+    Non-associative fold ⇒ one ``applyInPandas`` per shard with a
+    vectorized running-remainder loop; the shuffle key is the shard, so
+    parallelism = ``n_shards`` regardless of corpus size."""
+    if max_tokens <= 0 or n_shards <= 0:
+        raise ValueError("max_tokens and n_shards must be positive")
+    with_shard = df.withColumn(
+        shard_col, F.pmod(stable_hash32(id_col), F.lit(n_shards)).cast("int")
+    )
+    out_schema = T.StructType(
+        [*with_shard.schema.fields, T.StructField("bin_id", T.LongType())]
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        toks = pdf[tokens_col].to_numpy(dtype=np.int64)
+        bins = np.empty(len(toks), dtype=np.int64)
+        b, acc = 0, 0
+        for i, t in enumerate(toks.tolist()):
+            if acc > 0 and acc + t > max_tokens:
+                b += 1
+                acc = 0
+            bins[i] = b
+            acc += t
+        pdf["bin_id"] = bins
+        return pdf
+
+    return with_shard.groupBy(shard_col).applyInPandas(pack, out_schema)

@@ -823,3 +823,75 @@ def test_jpeg_eoi_before_sos_raises():
     headless = enc[:sos] + b"\xff\xd9"
     with pytest.raises(ValueError, match="scan not found"):
         jpeg.decode_jpeg(headless)
+
+
+def test_stable_split_and_sample(spark, sf_dir):
+    from rust_timeseries_spark.operators import sampling
+
+    d = _docs(spark, sf_dir)
+    s = sampling.stable_split(d, id_col="doc_id")
+    counts = {r["split"]: r["n"] for r in s.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    n = sum(counts.values())
+    assert set(counts) <= {"train", "val", "test"} and counts["train"] > counts["val"]
+    # ~80/10/10 within loose tolerance at 500 docs
+    assert 0.6 < counts["train"] / n < 0.95
+
+    # STABILITY: assignments are a pure function of the id — a subset
+    # corpus assigns identically (randomSplit does not survive this)
+    sub = sampling.stable_split(d.limit(100), id_col="doc_id")
+    full = {r["doc_id"]: r["split"] for r in s.collect()}
+    for r in sub.collect():
+        assert full[r["doc_id"]] == r["split"]
+
+    kept = sampling.stable_sample(d, 0.25, id_col="doc_id").count()
+    assert 0.15 * d.count() < kept < 0.35 * d.count()
+    import pytest
+    with pytest.raises(ValueError):
+        sampling.stable_sample(d, 1.5)
+
+    # xxh variant: same contract for composite keys
+    sx = sampling.stable_split_xxh(d, ["doc_id", "source"])
+    cx = {r["split"]: r["n"] for r in sx.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(cx.values()) == n
+
+
+def test_pack_sequences_vs_bruteforce(spark):
+    from rust_timeseries_spark.operators import sampling
+
+    rng = np.random.default_rng(9)
+    rows = [(int(i * 7 + 3), int(t)) for i, t in enumerate(rng.integers(1, 700, 500))]
+    rows.append((9999, 5000))  # longer than any budget: its own bin
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = sampling.pack_sequences(df, max_tokens=1024, n_shards=4).collect()
+
+    # reference packing per shard in plain python
+    K, M = 2654435761, 1 << 32
+
+    def h32(did):
+        return (((did % (1 << 31)) ^ (did >> 31)) * K) % M
+
+    by_shard: dict[int, list[tuple[int, int]]] = {}
+    for did, t in rows:
+        by_shard.setdefault(h32(did) % 4, []).append((did, t))
+    exp: dict[int, int] = {}
+    for shard, docs in by_shard.items():
+        b, acc = 0, 0
+        for did, t in sorted(docs):
+            if acc > 0 and acc + t > 1024:
+                b, acc = b + 1, 0
+            exp[did] = b
+            acc += t
+    got = {r["doc_id"]: (r["shard"], r["bin_id"]) for r in out}
+    for did, t in rows:
+        assert got[did] == (h32(did) % 4, exp[did]), did
+
+    # bins respect the budget except single-oversize docs
+    from collections import defaultdict
+    tot = defaultdict(int)
+    cnt = defaultdict(int)
+    toks = dict(rows)
+    for r in out:
+        tot[(r["shard"], r["bin_id"])] += toks[r["doc_id"]]
+        cnt[(r["shard"], r["bin_id"])] += 1
+    for k, s in tot.items():
+        assert s <= 1024 or cnt[k] == 1, (k, s)

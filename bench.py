@@ -101,6 +101,7 @@ def main() -> None:
         "interval_join_1d",
         "doc_split_stats",
         "doc_pack_1k",
+        "streaming_dedup",
     ]
     qs = entrymod.queries()
 

@@ -170,3 +170,66 @@ def test_stream_rollup_epoch_keys_match_tier_store_convention(spark, tmp_path):
         for r in rollup.rollup_raw(raw, "1h", epoch=True).collect()
     }
     assert got == exp  # keys AND values identical to the batch epoch tier
+
+
+def test_dedup_stream_watermark_eviction(spark, tmp_path):
+    # the at-least-once boundary of streaming dedup: a duplicate inside
+    # the watermark window is dropped; one arriving after state eviction
+    # re-emits. Three mtime-ordered files drive the watermark forward
+    # deterministically with availableNow + maxFilesPerTrigger=1.
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from rust_timeseries_spark.streaming import dedup_stream
+
+    in_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    base_t = 1_700_000_000
+
+    def drop_file(rows, order):
+        df = spark.createDataFrame(rows, "event_id long, t long")
+        df.coalesce(1).write.mode("append").parquet(in_dir)
+        files = sorted(
+            (os.path.join(in_dir, f) for f in os.listdir(in_dir) if f.endswith(".parquet")),
+            key=os.path.getmtime,
+        )
+        os.utime(files[-1], (time.time() + order, time.time() + order))
+
+    # delay 10s. batch1: id=1 @t0 (watermark after batch: t0-10).
+    # batch2: id=2 @t0+100 advances the watermark to t0+90, evicting
+    # id=1's state (expiry t0+10); the id=1 duplicate in the SAME batch
+    # is dropped by still-live state. batch3: a same-event-time id=1
+    # duplicate is now LATE (t0 < watermark) — the late filter drops it,
+    # covering the eviction gap. batch4: id=1 with a NEWER event time
+    # (t0+95 > watermark, state evicted) RE-EMITS — the true
+    # at-least-once boundary of streaming dedup.
+    drop_file([(1, base_t)], 1)
+    drop_file([(2, base_t + 100), (1, base_t)], 2)
+    drop_file([(1, base_t)], 3)
+    drop_file([(1, base_t + 95)], 4)
+
+    stream = (
+        spark.readStream.schema("event_id long, t long")
+        .option("maxFilesPerTrigger", 1).parquet(in_dir)
+    )
+    out = dedup_stream.dedup_stream(
+        stream, keys=["event_id"], ts_col="t", delay="10 seconds",
+        epoch_seconds_col=True,
+    )
+    rows = []
+
+    q = (
+        out.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(lambda b, _i: rows.extend(b.collect()))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    emitted = sorted((r["event_id"], r["t"]) for r in rows)
+    # id=1: original + the post-eviction NEWER-timestamped replay; the
+    # in-state duplicate (batch2) and the late same-time duplicate
+    # (batch3) are both dropped
+    assert emitted == [(1, base_t), (1, base_t + 95), (2, base_t + 100)], emitted

@@ -102,6 +102,12 @@ def main() -> None:
         "doc_split_stats",
         "doc_pack_1k",
         "streaming_dedup",
+        "dedup_clusters",
+        "decontaminate_eval",
+        "text_repetition",
+        "pii_redact",
+        "anomaly_zscore_1h",
+        "quantiles_1d",
     ]
     qs = entrymod.queries()
 

@@ -48,6 +48,45 @@ def rolling_stats(
     )
 
 
+def anomaly_zscore(
+    df: DataFrame,
+    value_col: str,
+    k: int,
+    keys: list[str] | None = None,
+    order_col: str = "bucket_ts",
+    z_thresh: float = 3.0,
+    min_points: int = 12,
+) -> DataFrame:
+    """Trailing-window z-score anomaly flags per key: each bucket is
+    scored against the mean/std of the PRECEDING ``k`` buckets (frame
+    ``[-k, -1]`` — the current point never contaminates its own
+    baseline, the standard online-monitoring convention). ``z`` is null
+    until ``min_points`` history exists or while the trailing std is 0
+    (constant history ⇒ no scale); ``is_anomaly`` is 1 when
+    ``|z| > z_thresh``.
+
+    One window sort per key — the same single-Exchange plan shape as
+    ``rolling_stats``; mean is computed as exact-int ``sum/count``
+    (not ``avg``) so integer inputs score identically on any engine.
+    """
+    keys = keys if keys is not None else ["source"]
+    w = Window.partitionBy(*keys).orderBy(order_col).rowsBetween(-k, -1)
+    v = F.col(value_col)
+    cnt = F.count(v).over(w)
+    mean = F.sum(v).over(w).cast("double") / cnt
+    std = F.stddev_samp(v).over(w)
+    ok = (cnt >= min_points) & std.isNotNull() & (std > 0)
+    z = F.when(ok, (v.cast("double") - mean) / std)
+    return (
+        df.withColumn("trail_count", cnt)
+        .withColumn("z", z)
+        .withColumn(
+            "is_anomaly",
+            F.when(ok & (F.abs(z) > z_thresh), F.lit(1)).otherwise(F.lit(0)).cast("int"),
+        )
+    )
+
+
 def lag_moments(
     df: DataFrame,
     value_col: str,

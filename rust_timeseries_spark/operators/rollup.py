@@ -267,6 +267,83 @@ def session_rollup(
     )
 
 
+def quantile_rollup(
+    df: DataFrame,
+    tier: str = "1d",
+    keys: list[str] | None = None,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    ps: tuple[float, ...] = (0.5, 0.95, 0.99),
+    accuracy: int = 10000,
+    epoch: bool = False,
+    check_eps: float | None = None,
+) -> DataFrame:
+    """Per-(keys, bucket) EXACT percentiles plus the sketch the 100 TB
+    path would actually ship: ``approx_percentile`` (Spark's
+    KLL/Greenwald-Khanna-family sketch — mergeable, bounded memory,
+    map-side combinable) at the given ``accuracy``.
+
+    The exact path buffers each group's sorted values — correct and
+    fine up to ~10⁷ rows/group — and computes the standard linear
+    interpolation EXPLICITLY (``lo + (hi−lo)·frac`` at rank
+    ``p·(n−1)``) instead of calling the built-in ``percentile``:
+    engines disagree in the last ulp of their internal interpolation
+    (Spark's ``(1−g)·lo + g·hi`` vs DuckDB's fused form), which flips
+    `%.5e` renderings at rounding boundaries; spelling out one formula
+    makes the result bit-portable across engines. The sketch column is
+    the scale path, emitted alongside so every gate run re-validates
+    the sketch against exact within tolerance (same exact+approx
+    pattern as ``distinct_docs``' HLL flag).
+
+    Output: keys, bucket_ts, n, q_exact (array<double>, one per p),
+    q_approx (array, same order); with ``check_eps`` set, a boolean
+    ``approx_within_eps``: every sketch value must lie within the
+    ACTUAL-VALUE envelope [vs[⌊(p−ε)(n−1)⌋], vs[⌈(p+ε)(n−1)⌉]] — the
+    rank-space guarantee the sketch makes. Floor/ceil (never
+    interpolation) so the envelope is ≥ one rank step wide even for
+    tiny groups, where an interpolated ±ε band is narrower than the
+    gap between adjacent actual values and any sketch would "fail".
+    """
+    keys = keys if keys is not None else ["source"]
+    parr = ", ".join(str(p) for p in ps)
+    b = bucket_col(ts_col, tier, epoch, dict(df.dtypes)[ts_col])
+    g = (
+        df.select(*keys, b.alias("bucket_ts"), F.col(value_col).alias("_v"))
+        .groupBy(*keys, "bucket_ts")
+        .agg(
+            F.count("_v").alias("n"),
+            F.sort_array(F.collect_list("_v")).alias("_vs"),
+            F.expr(f"approx_percentile(_v, array({parr}), {accuracy})").alias("q_approx"),
+        )
+    )
+    nn = F.col("n")
+    exact = []
+    flag = None
+    for i, p in enumerate(ps):
+        rank = F.lit(float(p)) * (nn - 1).cast("double")
+        li = F.floor(rank)
+        lo = F.element_at("_vs", (li + 1).cast("int"))
+        hi = F.element_at("_vs", F.least(li + 2, nn.cast("long")).cast("int"))
+        exact.append(lo + (hi - lo) * (rank - li))
+        if check_eps is not None:
+            lo_r = F.greatest(
+                F.floor(F.lit(float(p - check_eps)) * (nn - 1).cast("double")), F.lit(0)
+            )
+            hi_r = F.least(
+                F.ceil(F.lit(float(p + check_eps)) * (nn - 1).cast("double")),
+                (nn - 1).cast("long"),
+            )
+            env_lo = F.element_at("_vs", (lo_r + 1).cast("int"))
+            env_hi = F.element_at("_vs", (hi_r + 1).cast("int"))
+            ap = F.element_at("q_approx", i + 1)
+            c = (ap >= env_lo) & (ap <= env_hi)
+            flag = c if flag is None else (flag & c)
+    out = [*keys, "bucket_ts", "n", F.array(*exact).alias("q_exact"), "q_approx"]
+    if check_eps is not None:
+        out.append(flag.alias("approx_within_eps"))
+    return g.select(*out)
+
+
 def tier_diff(tier_a: DataFrame, tier_b: DataFrame) -> DataFrame:
     """Set-operation consistency check between two materializations of
     the same tier (SURVEY.md §2.7): rows in exactly one side via

@@ -109,3 +109,104 @@ def with_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
     norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
     bag = F.array_join(F.array_sort(F.array_distinct(F.split(norm, " "))), " ")
     return df.withColumn("fp_exact", F.xxhash64(norm)).withColumn("fp_bag", F.xxhash64(bag))
+
+
+def _ngram_arr(text_col: str, n: int) -> str:
+    """SQL fragment: array of word n-grams (with internal spaces),
+    empty when the doc has fewer than n words."""
+    ws = f"split({text_col}, ' ')"
+    return (
+        f"CASE WHEN size({ws}) >= {n} THEN "
+        f"transform(sequence(0, size({ws}) - {n}), "
+        f"i -> array_join(slice({ws}, i + 1, {n}), ' ')) "
+        f"ELSE array() END"
+    )
+
+
+def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1 use
+    duplicate-line and top-n-gram character fractions as quality
+    filters; this is the word-n-gram form for single-line documents):
+
+    * ``top2gram_frac`` / ``top3gram_frac`` — max over n-grams of
+      ``count(g) · length(g) / length(text)``: the character share a
+      single repeated phrase could cover.  Maximizing the product
+      (not count alone) needs no tie-break and is the quantity the
+      filter actually thresholds.
+    * ``dup5gram_frac`` — fraction of 5-gram INSTANCES whose gram
+      occurs more than once (0 for docs under 5 words).
+
+    All pure array expressions — per-doc O(d·m) with d distinct grams,
+    no shuffle, no Python: a full-scan-speed projection even at 100 TB.
+    (For megaword documents the O(d·m) per-row cost would argue for an
+    explode + count + window plan instead — same results, two shuffles;
+    this projection form is the right trade below ~10⁴ words/doc.)
+    """
+    out = df
+    for n, col in ((2, "top2gram_frac"), (3, "top3gram_frac")):
+        arr = _ngram_arr(text_col, n)
+        prod = (
+            f"array_max(transform(array_distinct({arr}), "
+            f"x -> size(filter({arr}, y -> y = x)) * length(x)))"
+        )
+        out = out.withColumn(
+            col,
+            F.expr(
+                f"CASE WHEN size({arr}) > 0 THEN "
+                f"CAST({prod} AS DOUBLE) / length({text_col}) ELSE 0.0 END"
+            ),
+        )
+    g5 = _ngram_arr(text_col, 5)
+    # duplicate instances = m − (# grams occurring exactly once)
+    singles = (
+        f"size(filter(transform(array_distinct({g5}), "
+        f"x -> size(filter({g5}, y -> y = x))), c -> c = 1))"
+    )
+    out = out.withColumn(
+        "dup5gram_frac",
+        F.expr(
+            f"CASE WHEN size({g5}) > 0 THEN "
+            f"CAST(size({g5}) - {singles} AS DOUBLE) / size({g5}) ELSE 0.0 END"
+        ),
+    )
+    return out
+
+
+# PII scrubbing patterns — deliberately conservative shapes that parse
+# and match IDENTICALLY under Java regex (Spark), RE2 (DuckDB) and
+# Python `re`: character classes, bounded quantifiers and `\b` only —
+# no backreferences, no lookaround (absent from RE2), no alternation
+# whose leftmost-first (Java) vs leftmost-longest (RE2) semantics could
+# diverge. Order matters: emails are redacted before phones/IPs so a
+# dotted/digit-bearing local part is consumed as one email match.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "phone": (r"\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,4}-[0-9]{4}", "<PHONE>"),
+    "ipv4": (r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+}
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII scrubbing — the redaction pass every LLM training corpus
+    runs before anything else sees the text. Adds per-document match
+    counts ``n_email`` / ``n_phone`` / ``n_ipv4`` (each counted against
+    the INPUT text, independently — a doc is expected to trip one
+    pattern class per span) and ``text_redacted`` with matches replaced
+    by typed placeholder tokens, emails first (see ``PII_PATTERNS``).
+
+    Pure ``regexp_count`` / ``regexp_replace`` column expressions — a
+    shuffle-free codegen projection that runs at scan speed over
+    100 TB; patterns are restricted to the Java∩RE2∩`re` common subset
+    so any SQL engine reproduces the result byte-for-byte (the driver
+    oracle recomputes it in DuckDB/RE2). Patterns go through the
+    column-function API (never ``F.expr`` string literals), so no
+    SQL-string escape processing touches ``\\b``.
+    """
+    out = df
+    red = F.col(text_col)
+    for name, (pat, token) in PII_PATTERNS.items():
+        out = out.withColumn(
+            f"n_{name}", F.regexp_count(F.col(text_col), F.lit(pat)).cast("long")
+        )
+        red = F.regexp_replace(red, pat, token)
+    return out.withColumn("text_redacted", red)

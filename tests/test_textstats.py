@@ -1,0 +1,147 @@
+"""Repetition quality signals and trailing z-score anomaly flags vs
+hand-computed fixtures."""
+
+from __future__ import annotations
+
+import math
+import statistics
+
+import pytest
+
+from rust_timeseries_spark.operators import rolling, textops
+
+
+def _rep(spark, text):
+    df = spark.createDataFrame([(1, text)], "doc_id: long, text: string")
+    r = textops.with_repetition_stats(df).collect()[0]
+    return r["top2gram_frac"], r["top3gram_frac"], r["dup5gram_frac"]
+
+
+def test_repetition_on_pure_repeat(spark):
+    # "a b a b a b a b": 2-grams = [a b, b a, a b, b a, a b, a b... ]
+    text = "a b a b a b a b"          # 8 words, 15 chars
+    t2, t3, d5 = _rep(spark, text)
+    # 2-grams: 7 total; "a b" x4 (len 3) -> product 12; "b a" x3 -> 9
+    assert t2 == pytest.approx(12 / 15)
+    # 3-grams: "a b a" x3 (len 5) -> 15; "b a b" x3 -> 15
+    assert t3 == pytest.approx(15 / 15)
+    # 5-grams: 4 instances: "a b a b a" x2, "b a b a b" x2 -> all duplicated
+    assert d5 == 1.0
+
+
+def test_repetition_on_all_distinct(spark):
+    text = "q w e r t y u i"
+    t2, t3, d5 = _rep(spark, text)
+    n_chars = len(text)
+    assert t2 == pytest.approx(3 / n_chars)   # every 2-gram unique, len 3
+    assert t3 == pytest.approx(5 / n_chars)
+    assert d5 == 0.0
+
+
+def test_repetition_short_doc_zero(spark):
+    assert _rep(spark, "only") == (0.0, 0.0, 0.0)
+
+
+def test_anomaly_zscore_matches_statistics(spark):
+    # one key, 30 buckets: constant 10 then a spike
+    vals = [10, 11, 9, 10, 12, 8, 10, 11, 9, 10, 12, 8, 10, 11, 9, 10] + [50] + [10] * 5
+    rows = [("a", i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "event_type: string, bucket_ts: long, tok_count: long")
+    out = rolling.anomaly_zscore(
+        df, "tok_count", k=24, keys=["event_type"], order_col="bucket_ts",
+        z_thresh=3.0, min_points=12,
+    ).collect()
+    byb = {r["bucket_ts"]: r for r in out}
+    # before 12 points of history: no score
+    for i in range(12):
+        assert byb[i]["z"] is None and byb[i]["is_anomaly"] == 0
+    # the spike at index 16 scores against buckets 0..15
+    hist = vals[:16]
+    mu = sum(hist) / len(hist)
+    sd = statistics.stdev(hist)
+    assert byb[16]["z"] == pytest.approx((50 - mu) / sd)
+    assert byb[16]["is_anomaly"] == 1
+    # normal point right after the spike: spike inflates std, not flagged
+    assert byb[17]["is_anomaly"] == 0
+
+
+def test_quantile_rollup_matches_numpy(spark):
+    import numpy as np
+    from rust_timeseries_spark.operators import rollup
+
+    rng = __import__("random").Random(7)
+    rows = [("a", 1000 + i, round(rng.uniform(0, 100), 2)) for i in range(137)]
+    from pyspark.sql import functions as F
+
+    df2 = spark.createDataFrame(rows, "source: string, ts: long, value: double").withColumn(
+        "ts", F.timestamp_seconds("ts")
+    )
+    q = rollup.quantile_rollup(
+        df2, "1d", ["source"], "ts", "value", ps=(0.5, 0.95, 0.99),
+        accuracy=10000, epoch=True, check_eps=0.02,
+    )
+    r = q.collect()[0]
+    vals = np.array([v for _, _, v in rows])
+    for i, p in enumerate((0.5, 0.95, 0.99)):
+        assert r["q_exact"][i] == pytest.approx(
+            float(np.percentile(vals, p * 100, method="linear")), abs=1e-12
+        )
+    assert r["approx_within_eps"] is True
+
+
+def test_quantile_rollup_tiny_group_flag_holds(spark):
+    from pyspark.sql import functions as F
+    from rust_timeseries_spark.operators import rollup
+
+    rows = [("a", 10 + i, float(v)) for i, v in enumerate([5, 1, 9])]
+    df = spark.createDataFrame(rows, "source: string, ts: long, value: double").withColumn(
+        "ts", F.timestamp_seconds("ts")
+    )
+    r = rollup.quantile_rollup(
+        df, "1d", ["source"], "ts", "value", ps=(0.5, 0.99), epoch=True, check_eps=0.02
+    ).collect()[0]
+    assert r["n"] == 3
+    assert r["q_exact"][0] == 5.0      # median of {1,5,9}
+    assert r["approx_within_eps"] is True
+
+
+def test_anomaly_constant_history_null_z(spark):
+    rows = [("a", i, 5) for i in range(20)]
+    df = spark.createDataFrame(rows, "event_type: string, bucket_ts: long, tok_count: long")
+    out = rolling.anomaly_zscore(
+        df, "tok_count", k=24, keys=["event_type"], order_col="bucket_ts",
+    ).collect()
+    assert all(r["z"] is None and r["is_anomaly"] == 0 for r in out)
+
+
+def test_redact_pii_fixtures(spark):
+    import re
+
+    texts = [
+        (0, "mail me at a.user+x@mail.example.co.uk or bob@x.io thanks"),
+        (1, "call +1-800-555-0142 or +44-020-7946-0958 now"),
+        (2, "server 10.0.0.1 and 192.168.255.254 but not 1.2.3.4567x"),
+        (3, "no pii here at all"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(texts, "doc_id: long, text: string")
+    out = {r["doc_id"]: r for r in textops.redact_pii(df).collect()}
+
+    assert (out[0]["n_email"], out[0]["n_phone"], out[0]["n_ipv4"]) == (2, 0, 0)
+    assert out[0]["text_redacted"] == "mail me at <EMAIL> or <EMAIL> thanks"
+    assert (out[1]["n_email"], out[1]["n_phone"]) == (0, 2)
+    assert out[1]["text_redacted"] == "call <PHONE> or <PHONE> now"
+    # \b stops the run-on 4th octet from matching as an IP
+    assert out[2]["n_ipv4"] == 2
+    assert out[2]["text_redacted"] == "server <IP> and <IP> but not 1.2.3.4567x"
+    assert out[3]["text_redacted"] == "no pii here at all"
+    assert out[4]["text_redacted"] == ""
+
+    # cross-engine tripwire: Python `re` (a third regex engine in the
+    # Java∩RE2∩re common subset) reproduces every count and redaction
+    for doc_id, t in texts:
+        red = t
+        for name, (pat, token) in textops.PII_PATTERNS.items():
+            assert out[doc_id][f"n_{name}"] == len(re.findall(pat, t)), (doc_id, name)
+            red = re.sub(pat, token, red)
+        assert out[doc_id]["text_redacted"] == red, doc_id

@@ -158,6 +158,63 @@ def main() -> None:
                    and ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
                         or "BroadcastHashJoin" in plan), plan))
 
+    # 14. decontamination: the train-ngram probe must be a real LeftSemi
+    # hash/sort-merge equi-join on the gram (never BNL), and the train
+    # side's DISTINCT must partial-aggregate before its shuffle
+    from rust_timeseries_spark.operators import decontam
+
+    plan = explain_str(decontam.ngram_overlap(docs.where("doc_id % 10 = 9"),
+                                              docs.where("doc_id % 10 < 8"), n=8))
+    checks.append(("decontam: LeftSemi equi-join on gram, partial distinct, no BNL",
+                   "LeftSemi" in plan
+                   and "BroadcastNestedLoopJoin" not in plan
+                   and "CartesianProduct" not in plan
+                   and plan.count("HashAggregate") >= 2, plan))
+
+    # 15. repetition stats: a pure projection — ZERO Exchanges (the
+    # whole signal computes inside the scan's codegen stage)
+    from rust_timeseries_spark.operators import textops
+
+    plan = explain_str(textops.with_repetition_stats(docs))
+    checks.append(("repetition stats: shuffle-free projection (0 Exchanges)",
+                   len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 0, plan))
+
+    # 15b. PII redaction: likewise a scan-speed projection — regexes run
+    # inside codegen, zero Exchanges
+    plan = explain_str(textops.redact_pii(docs))
+    checks.append(("pii redact: shuffle-free projection (0 Exchanges)",
+                   len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 0, plan))
+
+    # 16. anomaly z-score over a shuffle-free input: exactly one hash
+    # Exchange (the per-key window sort) — mean/std/count share one frame
+    from rust_timeseries_spark.operators import rolling
+
+    flat = ev.selectExpr("event_type", "event_id as bucket_ts", "value as tok_count")
+    plan = explain_str(rolling.anomaly_zscore(flat, "tok_count", k=24,
+                                              keys=["event_type"]))
+    checks.append(("anomaly zscore: one Exchange, one Window (shared frame)",
+                   len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
+                   and plan.count("Window") <= 2, plan))
+
+    # 17. quantile rollup: ONE shuffle; exact list + approx sketch ride
+    # the same aggregate (no second pass over the input)
+    plan = explain_str(rollup.quantile_rollup(ev, "1d", ["event_type"],
+                                              "ts", "value", check_eps=0.02))
+    checks.append(("quantile rollup: single shuffle, one combined aggregate",
+                   len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1, plan))
+
+    # 18. connected-components round: each large/small-star step is
+    # groupBy-min + equi-join — hash joins only, never BNL/cartesian
+    from rust_timeseries_spark.operators import graph as graph_ops
+
+    edges = ev.selectExpr("event_id as src", "event_id % 97 as dst").limit(500)
+    one_round = graph_ops._small_star(graph_ops._large_star(
+        graph_ops._canonical_edges(edges, "src", "dst")))
+    plan = explain_str(one_round)
+    checks.append(("cc round: equi-joins only, no cartesian/BNL",
+                   "BroadcastNestedLoopJoin" not in plan
+                   and "CartesianProduct" not in plan, plan))
+
     failures = 0
     for name, ok, plan in checks:
         print(f"[{'ok' if ok else 'FAIL'}] {name}")

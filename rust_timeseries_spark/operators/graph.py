@@ -120,7 +120,11 @@ def connected_components(
     covers graphs far past 10^15 nodes — non-convergence means a bug,
     not a big graph).
     """
-    e = _canonical_edges(edges, src, dst)
+    # checkpoint BEFORE the loop: round 1's large-star references the
+    # edge set twice (groupBy-min + join), so an un-materialized input
+    # would evaluate the caller's whole pair-generation pipeline twice
+    # (measured ~2× the pair cost on the threshold-Jaccard gate)
+    e = _canonical_edges(edges, src, dst).localCheckpoint(eager=True)
     sig = None
     for _ in range(max_iter):
         e = _small_star(_large_star(e)).localCheckpoint(eager=True)

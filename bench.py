@@ -100,6 +100,7 @@ def main() -> None:
         "asof_join_1h",
         "interval_join_1d",
         "doc_split_stats",
+        "doc_mixture_budget",
         "doc_pack_1k",
         "streaming_dedup",
         "dedup_clusters",

@@ -154,3 +154,54 @@ def pack_sequences(
         return pdf
 
     return with_shard.groupBy(shard_col).applyInPandas(pack, out_schema)
+
+
+def mixture_sample(
+    df: DataFrame,
+    budgets: DataFrame,
+    tokens_col: str = "n_tokens",
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    budget_col: str = "token_budget",
+) -> DataFrame:
+    """Deterministic mixture sampling — the "data mixing" step that
+    turns per-domain token budgets (the published recipe behind
+    Pile/Gopher/Dolma-style training mixes) into a concrete document
+    subset: within each group, documents are ranked by
+    ``stable_hash32(id)`` (a deterministic uniform order — the same
+    docs survive on every run, engine, and partitioning; ``id`` breaks
+    hash ties) and the greedy prefix is kept while the tokens consumed
+    BEFORE a document stay under the group's budget, so each group
+    overshoots by less than one document and smaller corpora are taken
+    whole.
+
+    ``budgets`` is a (group, budget) DataFrame — domain maps are
+    hundreds of rows, so it broadcast-joins onto the corpus without a
+    shuffle of the big side. The plan is one window shuffle: hash
+    partition by group + in-partition sort by (hash, id). At 100 TB a
+    single giant group serializes its window sort; the scale escape is
+    a two-phase prefix — estimate a hash threshold from
+    budget/avg_tokens, pre-filter to ~the surviving prefix with the
+    embarrassingly-parallel hash predicate, then run this exact window
+    on the survivors — same result, window input shrunk by orders of
+    magnitude (same pattern as the EWMA giant-key escape hatch).
+
+    Adds ``cum_tokens`` (tokens consumed through this doc, in hash
+    order) to the kept rows.
+    """
+    from pyspark.sql import Window
+
+    h = stable_hash32(id_col).alias("_mx_h")
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy("_mx_h", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tok = F.col(tokens_col).cast("long")
+    joined = df.withColumn("_mx_h", h).join(F.broadcast(budgets), group_col)
+    out = (
+        joined.withColumn("cum_tokens", F.sum(tok).over(w))
+        .where(F.col("cum_tokens") - tok < F.col(budget_col))
+        .drop("_mx_h", budget_col)
+    )
+    return out

@@ -895,3 +895,41 @@ def test_pack_sequences_vs_bruteforce(spark):
         cnt[(r["shard"], r["bin_id"])] += 1
     for k, s in tot.items():
         assert s <= 1024 or cnt[k] == 1, (k, s)
+
+
+def test_mixture_sample_vs_bruteforce(spark):
+    import random
+
+    from rust_timeseries_spark.operators import sampling
+
+    rng = random.Random(11)
+    rows = [(i, f"g{i % 3}", rng.randint(5, 40)) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id: long, source: string, n_tokens: long")
+    budgets = spark.createDataFrame(
+        [("g0", 200), ("g1", 450), ("g2", 100_000)],
+        "source: string, token_budget: long",
+    )
+    out = sampling.mixture_sample(df, budgets).collect()
+
+    # brute force: same hash, same greedy prefix rule
+    def h32(i):
+        return (((i % 2**31) ^ (i // 2**31)) * 2654435761) % 2**32
+
+    expect = {}
+    for grp, bud in (("g0", 200), ("g1", 450), ("g2", 100_000)):
+        cum = 0
+        for i, g, t in sorted(rows, key=lambda r: (h32(r[0]), r[0])):
+            if g != grp:
+                continue
+            if cum < bud:
+                expect[i] = cum + t
+            cum += t
+    assert {r["doc_id"]: r["cum_tokens"] for r in out} == expect
+    # a group whose corpus is under budget is taken whole
+    assert sum(1 for r in out if r["source"] == "g2") == sum(
+        1 for _, g, _ in rows if g == "g2"
+    )
+    # every kept doc STARTED under budget: cum_before < budget
+    for r in out:
+        bud = {"g0": 200, "g1": 450, "g2": 100_000}[r["source"]]
+        assert r["cum_tokens"] - [t for i, g, t in rows if i == r["doc_id"]][0] < bud

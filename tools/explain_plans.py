@@ -203,6 +203,19 @@ def main() -> None:
     checks.append(("quantile rollup: single shuffle, one combined aggregate",
                    len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1, plan))
 
+    # 17b. mixture sampling: the budget map joins via BROADCAST (the
+    # big corpus side never shuffles for it); one hash Exchange total
+    # (the per-group window sort)
+    from rust_timeseries_spark.operators import sampling
+
+    toks = docs.selectExpr("doc_id", "source", "size(split(text, ' ')) as n_tokens")
+    buds = docs.selectExpr("source").distinct().selectExpr(
+        "source", "cast(2000 as long) as token_budget")
+    plan = explain_str(sampling.mixture_sample(toks, buds))
+    checks.append(("mixture sample: broadcast budget join + one window Exchange",
+                   "BroadcastHashJoin" in plan
+                   and len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) <= 2, plan))
+
     # 18. connected-components round: each large/small-star step is
     # groupBy-min + equi-join — hash joins only, never BNL/cartesian
     from rust_timeseries_spark.operators import graph as graph_ops

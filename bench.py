@@ -101,6 +101,7 @@ def main() -> None:
         "interval_join_1d",
         "doc_split_stats",
         "doc_mixture_budget",
+        "bm25_topk",
         "doc_pack_1k",
         "streaming_dedup",
         "dedup_clusters",

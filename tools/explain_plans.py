@@ -216,6 +216,19 @@ def main() -> None:
                    "BroadcastHashJoin" in plan
                    and len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) <= 2, plan))
 
+    # 17c. BM25: query/df/stat sides all broadcast onto the posting
+    # lists; no cartesian or BNL anywhere (the scalar stats attach via a
+    # constant-key BroadcastHashJoin)
+    from rust_timeseries_spark.operators import retrieval
+
+    qdf = docs.limit(0).selectExpr("doc_id as query_id", "text as query").union(
+        spark.createDataFrame([(1, "alpha beta")], "query_id: long, query: string"))
+    plan = explain_str(retrieval.bm25_topk(docs, qdf, k=5))
+    checks.append(("bm25: broadcast query joins, no cartesian/BNL",
+                   "CartesianProduct" not in plan
+                   and "BroadcastNestedLoopJoin" not in plan
+                   and plan.count("BroadcastHashJoin") >= 3, plan))
+
     # 18. connected-components round: each large/small-star step is
     # groupBy-min + equi-join — hash joins only, never BNL/cartesian
     from rust_timeseries_spark.operators import graph as graph_ops

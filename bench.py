@@ -110,6 +110,7 @@ def main() -> None:
         "pii_redact",
         "anomaly_zscore_1h",
         "quantiles_1d",
+        "value_histogram",
     ]
     qs = entrymod.queries()
 

@@ -15,7 +15,7 @@ exactly composable across tiers (every 1h bucket is the trunc of its 60
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: tier name -> date_trunc unit
@@ -342,6 +342,54 @@ def quantile_rollup(
     if check_eps is not None:
         out.append(flag.alias("approx_within_eps"))
     return g.select(*out)
+
+
+def value_histogram(
+    df: DataFrame,
+    lo: float,
+    hi: float,
+    n_bins: int,
+    keys: list[str] | None = None,
+    value_col: str = "value",
+) -> DataFrame:
+    """Fixed-width value histogram per key — the data-profiling
+    primitive (distribution drift checks, outlier share monitoring)
+    that runs as ONE two-phase aggregate at any corpus size: bin index
+    is a pure projection, so partial counts combine map-side and the
+    shuffle carries ≤ keys × (n_bins + 2) rows regardless of input.
+
+    Bin layout: ``-1`` = underflow (v < lo), ``n_bins`` = overflow
+    (v ≥ hi), else ``floor((v − lo) / w)`` with ``w = (hi − lo) /
+    n_bins``; null values are excluded (profile them via the count
+    delta). Output: keys, ``bin``, ``bin_lo`` (double — exact when the
+    grid is representable), ``n``, ``frac`` (n / key total — an exact
+    int/int IEEE division, so any SQL engine reproduces it bit-for-
+    bit)."""
+    if not (hi > lo) or n_bins <= 0:
+        raise ValueError(f"need hi > lo and n_bins > 0, got {lo=} {hi=} {n_bins=}")
+    keys = keys if keys is not None else ["event_type"]
+    w = (hi - lo) / n_bins
+    v = F.col(value_col).cast("double")
+    bin_ = (
+        F.when(v < F.lit(float(lo)), F.lit(-1))
+        .when(v >= F.lit(float(hi)), F.lit(n_bins))
+        .otherwise(F.floor((v - F.lit(float(lo))) / F.lit(w)))
+        .cast("long")
+    )
+    g = (
+        df.where(v.isNotNull())
+        .select(*keys, bin_.alias("bin"))
+        .groupBy(*keys, "bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    tot = Window.partitionBy(*keys)
+    return g.select(
+        *keys,
+        "bin",
+        (F.lit(float(lo)) + F.col("bin") * F.lit(w)).alias("bin_lo"),
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(tot)).alias("frac"),
+    )
 
 
 def tier_diff(tier_a: DataFrame, tier_b: DataFrame) -> DataFrame:

@@ -145,3 +145,23 @@ def test_redact_pii_fixtures(spark):
             assert out[doc_id][f"n_{name}"] == len(re.findall(pat, t)), (doc_id, name)
             red = re.sub(pat, token, red)
         assert out[doc_id]["text_redacted"] == red, doc_id
+
+
+def test_value_histogram_bins_and_fracs(spark):
+    from rust_timeseries_spark.operators import rollup
+
+    rows = [("a", -5.0), ("a", 0.0), ("a", 4.99), ("a", 5.0), ("a", 99.99),
+            ("a", 100.0), ("a", 250.0), ("b", 50.0), ("b", None)]
+    df = spark.createDataFrame(rows, "event_type: string, value: double")
+    out = rollup.value_histogram(df, lo=0.0, hi=100.0, n_bins=20,
+                                 keys=["event_type"]).collect()
+    got = {(r["event_type"], r["bin"]): (r["n"], r["frac"], r["bin_lo"]) for r in out}
+    # a: underflow 1; bin0 {0.0, 4.99}; bin1 {5.0}; bin19 {99.99}; overflow {100, 250}
+    assert got[("a", -1)][0] == 1
+    assert got[("a", 0)] == (2, 2 / 7, 0.0)
+    assert got[("a", 1)] == (1, 1 / 7, 5.0)
+    assert got[("a", 19)] == (1, 1 / 7, 95.0)
+    assert got[("a", 20)][0] == 2
+    # null excluded: b has exactly one counted row
+    assert got[("b", 10)] == (1, 1.0, 50.0)
+    assert sum(n for (k, _), (n, _, _) in got.items() if k == "a") == 7

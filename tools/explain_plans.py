@@ -229,6 +229,15 @@ def main() -> None:
                    and "BroadcastNestedLoopJoin" not in plan
                    and plan.count("BroadcastHashJoin") >= 3, plan))
 
+    # 17d. value histogram: bin index is a projection, counts are a
+    # two-phase hash aggregate -> ONE data-proportional Exchange (the
+    # frac window shuffles only keys x bins rows)
+    plan = explain_str(rollup.value_histogram(ev, lo=0.0, hi=100.0, n_bins=20,
+                                              keys=["event_type"]))
+    checks.append(("value histogram: two-phase agg, bounded shuffles",
+                   plan.count("HashAggregate") >= 2
+                   and len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) <= 2, plan))
+
     # 18. connected-components round: each large/small-star step is
     # groupBy-min + equi-join — hash joins only, never BNL/cartesian
     from rust_timeseries_spark.operators import graph as graph_ops

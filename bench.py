@@ -111,6 +111,11 @@ def main() -> None:
         "anomaly_zscore_1h",
         "quantiles_1d",
         "value_histogram",
+        "distinct_rollup_sketch",
+        "dedup_survivors",
+        "dedup_incremental",
+        "jsonl_roundtrip",
+        "stratified_sample",
     ]
     qs = entrymod.queries()
 

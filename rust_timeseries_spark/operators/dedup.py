@@ -299,6 +299,95 @@ def ngram_jaccard_threshold_pairs(
     )
 
 
+def incremental_jaccard_pairs(
+    corpus: DataFrame,
+    delta: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """EXACT thresholded Jaccard for the INCREMENTAL ingest pattern:
+    a new batch (``delta``) arrives and must be deduplicated against
+    the existing ``corpus`` (and against itself) WITHOUT re-pairing
+    corpus × corpus — the operation every rolling crawl pipeline runs
+    per batch.
+
+    Same lossless prefix-filter machinery as
+    ``ngram_jaccard_threshold_pairs`` (Bayardo et al. WWW'07 —
+    pigeonhole guarantee over global-DF-ordered prefixes), but the
+    candidate join PROBES only delta prefixes against the full index:
+    candidate cost ∝ |delta| × collision rate, never |corpus|².
+    Corpus-corpus pairs are excluded structurally (the probe side is
+    delta); delta-delta pairs are kept once via id ordering. At real
+    scale the corpus-side prefix index and DF table are the
+    materialize-once artifacts (recompute DF over corpus∪delta only
+    shifts prefix ORDER, which affects efficiency, not correctness —
+    any consistent global token order preserves the pigeonhole bound).
+
+    ``corpus`` and ``delta`` must have disjoint ids. Output:
+    ``(id_a < id_b, inter, union_sz, jaccard)`` where at least one
+    side is a delta doc — the exact pair set the unpruned inequality
+    join would produce, restricted to pairs touching delta."""
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    from pyspark.sql import Window
+
+    full = corpus.select(id_col, text_col).withColumn(
+        "_is_delta", F.lit(False)
+    ).unionByName(
+        delta.select(id_col, text_col).withColumn("_is_delta", F.lit(True))
+    )
+    sh = F.array_sort(F.array_distinct(shingles(text_col, shingle_k)))
+    docs = full.select(id_col, "_is_delta", sh.alias("_set"))
+    toks = docs.select(
+        id_col, "_is_delta", F.size("_set").alias("_sz"), F.explode("_set").alias("tok")
+    )
+    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("_df"))
+    w = Window.partitionBy(id_col).orderBy("_df", "tok")
+    # same downward-biased ceiling as ngram_jaccard_threshold_pairs:
+    # only ever LENGTHENS the prefix, so no qualifying pair is lost
+    alpha = F.ceil(F.lit(threshold) * F.col("_sz") - F.lit(1e-9))
+    prefix = (
+        toks.join(dfreq, "tok")
+        .withColumn("_pos", F.row_number().over(w))
+        .where(F.col("_pos") <= F.col("_sz") - alpha + 1)
+        .select(id_col, "_is_delta", "tok")
+    )
+    a = prefix.alias("a")
+    b = prefix.where(F.col("_is_delta")).alias("b")
+    cond = (
+        (F.col("a.tok") == F.col("b.tok"))
+        & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
+        # delta-delta pairs once (a.id < b.id); corpus-delta pairs in
+        # full (the corpus doc may carry either the smaller or larger id)
+        & (~F.col("a._is_delta") | (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+    )
+    cands = (
+        a.join(b, cond)
+        .select(
+            F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_a"),
+            F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_b"),
+        )
+        .distinct()
+    )
+    sa = docs.select(F.col(id_col).alias("id_a"), F.col("_set").alias("set_a"))
+    sb = docs.select(F.col(id_col).alias("id_b"), F.col("_set").alias("set_b"))
+    inter = F.size(F.array_intersect("set_a", "set_b"))
+    union = F.size("set_a") + F.size("set_b") - inter
+    return (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a", "id_b",
+            inter.alias("inter"),
+            union.alias("union_sz"),
+            (inter.cast("double") / union).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
 def lsh_verified_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

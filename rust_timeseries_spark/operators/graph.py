@@ -39,7 +39,7 @@ executor-loss resilience (same API shape, noted for deploy).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -140,6 +140,46 @@ def connected_components(
     return members.unionByName(
         roots.select("node", F.col("node").alias("component"))
     ).distinct()
+
+
+def dedup_survivors(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str = "n_chars",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """The END of the dedup pipeline: pairs → clusters → ONE survivor
+    per cluster, chosen by quality. Every input doc gets a row:
+
+    - docs in no pair are their own singleton cluster (kept);
+    - within a cluster the survivor is the max-``quality_col`` doc,
+      ties broken by smallest id (deterministic on any engine).
+
+    Cost shape at scale: ``dedup_clusters`` (O(log² n) star rounds over
+    the PAIRS only — near-dup pairs are a tiny fraction of the corpus),
+    one left join back to docs on id, then one window shuffle keyed by
+    ``cluster_id``. Cluster sizes are bounded in practice (a pathological
+    giant cluster means the threshold is wrong, not the engine), so the
+    row_number sort never sees a skew key worse than the biggest dup
+    family. Output: ``id_col``, ``quality_col``, ``cluster_id``,
+    ``cluster_size``, ``keep``."""
+    cl = dedup_clusters(pairs, id_a=id_a, id_b=id_b).withColumnRenamed("doc_id", id_col)
+    j = (
+        docs.select(id_col, quality_col)
+        .join(cl, id_col, "left")
+        .select(
+            id_col,
+            quality_col,
+            F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
+            F.coalesce("cluster_size", F.lit(1).cast("long")).alias("cluster_size"),
+        )
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col(quality_col).desc(), F.col(id_col).asc()
+    )
+    return j.withColumn("keep", F.row_number().over(w) == 1)
 
 
 def dedup_clusters(

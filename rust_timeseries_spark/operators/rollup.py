@@ -392,6 +392,72 @@ def value_histogram(
     )
 
 
+def sketch_distinct_rollup(
+    df: DataFrame,
+    id_col: str,
+    tier: str,
+    keys: list[str] | None = None,
+    ts_col: str = "ts",
+    lg_k: int = 12,
+    epoch: bool = True,
+) -> DataFrame:
+    """Per-``(keys, bucket)`` HLL distinct-count SKETCHES at ``tier`` —
+    the mergeable companion to ``rollup_raw`` for COUNT DISTINCT, which
+    (unlike sum/count/min/max) does not compose across tiers as plain
+    values. The Datasketches HLL register array DOES compose (register-
+    wise max), so a tier table can store one ``binary`` sketch per
+    bucket and every higher tier folds sketches instead of re-scanning
+    raw — the same never-rescan-raw contract the ``AGG_COLS`` tiers
+    keep (module docstring / SURVEY.md §2.4 A12/A14).
+
+    State is bounded: ≤ keys × buckets × 2^lg_k registers regardless of
+    input rows; the aggregate combines map-side like any hash agg. The
+    default lg_k=12 gives rsd ≈ 1.04/√4096 ≈ 1.6%. Output: keys,
+    ``bucket_ts``, ``hll`` (binary sketch), ``n_exactish`` estimate
+    column deliberately NOT included — estimate at read time via
+    ``F.hll_sketch_estimate`` so merged and leaf tiers stay one type."""
+    keys = keys if keys is not None else ["source"]
+    dtype = dict(df.dtypes).get(ts_col, "timestamp")
+    b = bucket_col(ts_col, tier, epoch=epoch, dtype=dtype)
+    return (
+        df.groupBy(*keys, b.alias("bucket_ts"))
+        .agg(F.hll_sketch_agg(F.col(id_col), F.lit(lg_k)).alias("hll"))
+    )
+
+
+def fold_sketch_tier(
+    sketch_tier: DataFrame,
+    to_tier: str,
+    keys: list[str] | None = None,
+    epoch: bool = True,
+) -> DataFrame:
+    """Fold an HLL sketch tier to a coarser tier by register union —
+    COUNT DISTINCT across tiers WITHOUT re-scanning raw data. Exact
+    analogue of ``fold_up`` for the sketch column: the 1d sketch of a
+    key is the union of its 24 1h sketches, and the union estimate
+    equals the estimate of sketching the whole day directly (register-
+    wise max is associative/commutative/idempotent). Adds
+    ``n_distinct_est`` (the rounded estimator value) alongside the
+    still-mergeable ``hll``.
+
+    Estimator nuance (Datasketches): a stream-built sketch estimates
+    with HIP (order-dependent, slightly tighter); a UNION result can
+    only use the composite estimator. Both sit inside the same rsd
+    envelope of the true cardinality, but ``estimate(fold(parts)) ==
+    estimate(direct)`` holds exactly only in the sparse/exact regime —
+    past it they differ by O(rsd) (measured ±3 counts at ~550 users,
+    sf0.1). The driver gate therefore pins each estimate against the
+    EXACT count, never against the other estimate
+    (``test_sketch_fold_vs_direct`` pins both regimes)."""
+    keys = keys if keys is not None else ["source"]
+    b = bucket_col("bucket_ts", to_tier, epoch=epoch, dtype="bigint" if epoch else "timestamp")
+    g = (
+        sketch_tier.groupBy(*keys, b.alias("bucket_ts"))
+        .agg(F.hll_union_agg(F.col("hll")).alias("hll"))
+    )
+    return g.withColumn("n_distinct_est", F.hll_sketch_estimate("hll"))
+
+
 def tier_diff(tier_a: DataFrame, tier_b: DataFrame) -> DataFrame:
     """Set-operation consistency check between two materializations of
     the same tier (SURVEY.md §2.7): rows in exactly one side via

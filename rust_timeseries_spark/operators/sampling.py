@@ -39,7 +39,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -110,6 +110,39 @@ def stable_split_xxh(
         expr = F.when(cond, label) if expr is None else expr.when(cond, label)
         lo += w
     return df.withColumn(out_col, expr)
+
+
+def stratified_sample_n(
+    df: DataFrame,
+    n: int,
+    keys: list[str] | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic EXACTLY-min(n, group size) rows per group — the
+    fixed-size-per-domain sample (eval subsets, per-source spot-check
+    panels) that ``stable_sample``'s rate form can't give.
+
+    Rows rank by ``stable_hash32(id)`` (ties by id) within each group,
+    keep rank ≤ n: engine-portable (live SQL oracle), and growing a
+    group later only displaces rows at the rank-n boundary — never
+    reshuffles the whole sample (the property a random ORDER BY lacks).
+
+    One window shuffle on ``keys``. For a group so large its sort is
+    the bottleneck (≫10⁸ rows per key), pre-filter with the same hash
+    below an over-sampled threshold (e.g. keep hash < 4·n/|group|·2³²)
+    and rank the survivors — the two-phase escape documented for
+    ``mixture_sample``; rank-boundary determinism is unchanged because
+    the prefilter keeps every row the final rank can select."""
+    if n <= 0:
+        raise ValueError(f"n must be positive, got {n}")
+    keys = keys if keys is not None else ["source"]
+    w = Window.partitionBy(*keys).orderBy(
+        stable_hash32(id_col).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= n)
+    )
 
 
 def pack_sequences(

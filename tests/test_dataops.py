@@ -1,5 +1,6 @@
 import os
 import numpy as np
+import pytest
 from pyspark.sql import functions as F
 
 from rust_timeseries_spark.operators import dedup, multimodal, similarity, textops
@@ -933,3 +934,88 @@ def test_mixture_sample_vs_bruteforce(spark):
     for r in out:
         bud = {"g0": 200, "g1": 450, "g2": 100_000}[r["source"]]
         assert r["cum_tokens"] - [t for i, g, t in rows if i == r["doc_id"]][0] < bud
+
+
+def test_incremental_jaccard_pairs_matches_full_join(spark, sf_dir):
+    """Delta-vs-corpus incremental dedup must produce EXACTLY the full
+    threshold-join pair set restricted to pairs touching delta —
+    pruning (prefix filter + delta-side probe) is lossless."""
+    from rust_timeseries_spark.operators import sampling
+
+    docs = _docs(spark, sf_dir)
+    h = F.pmod(sampling.stable_hash32("doc_id"), F.lit(10))
+    delta = docs.where(h == 7)
+    corpus = docs.where(h != 7)
+    got = sorted(
+        (r["id_a"], r["id_b"], r["inter"], r["union_sz"])
+        for r in dedup.incremental_jaccard_pairs(corpus, delta, threshold=0.5).collect()
+    )
+    dset = {r["doc_id"] for r in delta.select("doc_id").collect()}
+    full = dedup.ngram_jaccard_threshold_pairs(docs, threshold=0.5, shingle_k=3)
+    want = sorted(
+        (r["id_a"], r["id_b"], r["inter"], r["union_sz"])
+        for r in full.collect()
+        if r["id_a"] in dset or r["id_b"] in dset
+    )
+    assert got == want and len(want) > 0
+
+
+def test_incremental_jaccard_validates_threshold(spark):
+    from pyspark.sql import Row
+    d = spark.createDataFrame([Row(doc_id=1, text="a b c")])
+    with pytest.raises(ValueError):
+        dedup.incremental_jaccard_pairs(d, d, threshold=0.0)
+
+
+def test_jsonl_roundtrip_and_corrupt_capture(spark, tmp_path):
+    """JSONL write→read is lossless for JSON-hostile characters, and a
+    malformed line lands in _corrupt_record instead of failing the
+    scan (PERMISSIVE contract)."""
+    from rust_timeseries_spark.sources import jsonl as J
+
+    rows = [
+        (1, 'plain text', 'en', 's0', 10),
+        (2, 'quote " backslash \\ newline \n tab \t end', 'en', 's0', 20),
+        (3, 'unicode é中文 and // braces {}', 'de', 's1', 30),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id: long, text: string, lang: string, source: string, n_chars: long"
+    )
+    out = str(tmp_path / "docs")
+    J.write_jsonl(df, out)
+    back = J.read_jsonl(spark, out, J.DOCUMENT_SCHEMA)
+    got = {r["doc_id"]: (r["text"], r["lang"], r["source"], r["n_chars"])
+           for r in back.collect()}
+    assert got == {i: (t, l, s, n) for i, t, l, s, n in rows}
+
+    # corrupt line: a separate malformed file in the same directory
+    # (appending to a part file would break Hadoop's local .crc sidecar)
+    with open(out + "/zz-corrupt.json", "w") as f:
+        f.write('{"doc_id": broken\n')
+    back2 = J.read_jsonl(spark, out, J.DOCUMENT_SCHEMA)
+    agg = back2.agg(
+        F.count("doc_id").alias("n_ok"),
+        F.sum(F.when(F.col("_corrupt_record").isNotNull(), 1).otherwise(0)).alias("n_bad"),
+    ).collect()[0]
+    assert agg["n_bad"] == 1 and agg["n_ok"] == 3
+
+
+def test_stratified_sample_n_exactness_and_stability(spark, sf_dir):
+    """Exactly min(n, |group|) per group; the n=5 sample is a strict
+    subset of the n=10 sample (rank-prefix property — growing n never
+    reshuffles what was already sampled)."""
+    from rust_timeseries_spark.operators import sampling
+
+    docs = _docs(spark, sf_dir)
+    s10 = sampling.stratified_sample_n(docs, 10, keys=["source"])
+    s5 = sampling.stratified_sample_n(docs, 5, keys=["source"])
+    c10 = {r["source"]: r["cnt"] for r in
+           s10.groupBy("source").agg(F.count("*").alias("cnt")).collect()}
+    sizes = {r["source"]: r["cnt"] for r in
+             docs.groupBy("source").agg(F.count("*").alias("cnt")).collect()}
+    assert c10 == {s: min(10, c) for s, c in sizes.items()}
+    ids5 = {r["doc_id"] for r in s5.select("doc_id").collect()}
+    ids10 = {r["doc_id"] for r in s10.select("doc_id").collect()}
+    assert ids5 <= ids10 and len(ids5) == sum(min(5, c) for c in sizes.values())
+    with pytest.raises(ValueError):
+        sampling.stratified_sample_n(docs, 0)

@@ -94,3 +94,23 @@ def test_dedup_clusters_sizes(spark):
         for r in G.dedup_clusters(pairs).collect()
     }
     assert out == {1: (1, 3), 2: (1, 3), 3: (1, 3), 7: (7, 2), 8: (7, 2)}
+
+
+def test_dedup_survivors_policy_and_singletons(spark):
+    # clusters {1,2,3} (transitive) and {7,8}; 4 and 5 are singletons
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 30), (4, 99), (5, 1), (7, 5), (8, 5)],
+        "doc_id: long, n_chars: long",
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (7, 8)], "id_a: long, id_b: long")
+    out = {r["doc_id"]: r for r in G.dedup_survivors(docs, pairs).collect()}
+    assert len(out) == 7
+    # max n_chars wins; tie (2 vs 3 both 30) broken by smaller id
+    assert out[2]["keep"] and not out[1]["keep"] and not out[3]["keep"]
+    # tie at 5 chars: smaller id 7 survives
+    assert out[7]["keep"] and not out[8]["keep"]
+    # singletons always survive with themselves as cluster
+    for d in (4, 5):
+        assert out[d]["keep"] and out[d]["cluster_id"] == d and out[d]["cluster_size"] == 1
+    assert out[1]["cluster_id"] == 1 and out[1]["cluster_size"] == 3
+    assert sum(1 for r in out.values() if r["keep"]) == 4

@@ -233,3 +233,37 @@ def test_session_window_boundary_semantics(spark):
     out = sorted((r["start_es"], r["count"]) for r in agg.collect())
     base = 1577836800  # 2020-01-01T00:00:00Z
     assert out == [(base, 2), (base + 600, 1)]
+
+
+def test_sketch_fold_vs_direct(spark):
+    """HLL sketch tiers: in the sparse/exact regime fold == direct ==
+    exact; in the dense regime both estimates stay inside the rsd
+    envelope but need NOT be equal to each other (HIP vs composite
+    estimator — see fold_sketch_tier docstring)."""
+    from rust_timeseries_spark.operators import rollup as R
+
+    # --- exact regime: 40 distinct users, two hours of one day
+    rows = [(i % 40, 3600 * (i % 2) + i) for i in range(200)]
+    df = spark.createDataFrame(
+        [(u, ts, "k") for u, ts in rows], "user_id: long, ts: long, k: string"
+    )
+    hour = R.sketch_distinct_rollup(df, id_col="user_id", tier="1h", keys=["k"], ts_col="ts")
+    assert hour.count() == 2
+    day = R.fold_sketch_tier(hour, "1d", keys=["k"]).collect()
+    assert len(day) == 1 and day[0]["n_distinct_est"] == 40
+
+    # --- dense regime: 20k distinct ids across 4 hours
+    big = spark.range(20000).select(
+        F.col("id").alias("user_id"),
+        (F.pmod(F.col("id"), F.lit(4)) * 3600).alias("ts"),
+        F.lit("k").alias("k"),
+    )
+    hour_b = R.sketch_distinct_rollup(big, id_col="user_id", tier="1h", keys=["k"], ts_col="ts")
+    fold_b = R.fold_sketch_tier(hour_b, "1d", keys=["k"]).collect()[0]["n_distinct_est"]
+    direct_b = (
+        R.sketch_distinct_rollup(big, id_col="user_id", tier="1d", keys=["k"], ts_col="ts")
+        .select(F.hll_sketch_estimate("hll").alias("e")).collect()[0]["e"]
+    )
+    # lg_k=12 → rsd ~1.6%; 5% is ≥3σ
+    assert abs(fold_b - 20000) <= 0.05 * 20000
+    assert abs(direct_b - 20000) <= 0.05 * 20000

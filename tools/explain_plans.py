@@ -250,6 +250,38 @@ def main() -> None:
                    "BroadcastNestedLoopJoin" not in plan
                    and "CartesianProduct" not in plan, plan))
 
+    # 19. sketch tier fold: ONE exchange (the 1h sketch agg's), the
+    # 1d fold is two-phase over the sketch column — raw is scanned
+    # exactly once (the never-rescan-raw continuous-aggregate contract)
+    hour_sk = rollup.sketch_distinct_rollup(
+        ev, id_col="user_id", tier="1h", keys=["event_type"], ts_col="ts"
+    )
+    plan = explain_str(rollup.fold_sketch_tier(hour_sk, "1d", keys=["event_type"]))
+    checks.append(("sketch fold: one raw scan, hash aggregates, ≤2 Exchanges",
+                   len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
+                   and len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) <= 2, plan))
+
+    # 20. stratified sample: one window Exchange on the group key,
+    # rank filter applied before any wide output
+    from rust_timeseries_spark.operators import sampling as sampling_ops
+
+    docs_ep = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = explain_str(sampling_ops.stratified_sample_n(docs_ep, 10, keys=["source"]))
+    checks.append(("stratified sample: single Exchange + Window, no joins",
+                   len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
+                   and "Join" not in plan, plan))
+
+    # 21. incremental dedup: probe side filtered to delta BEFORE the
+    # candidate join; equi-joins only, never BNL/cartesian
+    from rust_timeseries_spark.operators import dedup as dedup_ops
+
+    h = F.pmod(sampling_ops.stable_hash32("doc_id"), F.lit(10))
+    plan = explain_str(dedup_ops.incremental_jaccard_pairs(
+        docs_ep.where(h != 7), docs_ep.where(h == 7), threshold=0.5))
+    checks.append(("incremental dedup: equi-joins only, no cartesian/BNL",
+                   "BroadcastNestedLoopJoin" not in plan
+                   and "CartesianProduct" not in plan, plan))
+
     failures = 0
     for name, ok, plan in checks:
         print(f"[{'ok' if ok else 'FAIL'}] {name}")

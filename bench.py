@@ -116,6 +116,8 @@ def main() -> None:
         "dedup_incremental",
         "jsonl_roundtrip",
         "stratified_sample",
+        "quality_filter",
+        "vocab_topk",
     ]
     qs = entrymod.queries()
 

@@ -123,6 +123,27 @@ def _ngram_arr(text_col: str, n: int) -> str:
     )
 
 
+def _top_share_sql(text_col: str, n: int) -> str:
+    """SQL fragment: the top-n-gram character share — max over grams of
+    ``count(g)·length(g) / length(text)`` via ONE run-length fold over
+    the sorted gram array (equal grams are adjacent after the sort, so
+    a run length IS the gram's count); 0.0 for docs under ``n`` words.
+    Shared by ``with_repetition_stats`` and ``quality_filter``."""
+    arr = _ngram_arr(text_col, n)
+    best = (
+        f"aggregate(array_sort({arr}), "
+        f"struct('' AS prev, 0L AS run, 0L AS best), "
+        f"(s, x) -> struct(x, "
+        f"IF(x = s.prev, s.run + 1, 1L), "
+        f"greatest(s.best, IF(x = s.prev, s.run + 1, 1L) * length(x))), "
+        f"s -> s.best)"
+    )
+    return (
+        f"CASE WHEN size({arr}) > 0 THEN "
+        f"CAST({best} AS DOUBLE) / length({text_col}) ELSE 0.0 END"
+    )
+
+
 def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Gopher-style repetition signals (Rae et al. 2021 §A1.1 use
     duplicate-line and top-n-gram character fractions as quality
@@ -152,22 +173,7 @@ def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     # where "best" is max(run_len · length(gram)) for the top-share
     # columns and the exactly-once run count for the duplicate fraction
     for n, col in ((2, "top2gram_frac"), (3, "top3gram_frac")):
-        arr = _ngram_arr(text_col, n)
-        best = (
-            f"aggregate(array_sort({arr}), "
-            f"struct('' AS prev, 0L AS run, 0L AS best), "
-            f"(s, x) -> struct(x, "
-            f"IF(x = s.prev, s.run + 1, 1L), "
-            f"greatest(s.best, IF(x = s.prev, s.run + 1, 1L) * length(x))), "
-            f"s -> s.best)"
-        )
-        out = out.withColumn(
-            col,
-            F.expr(
-                f"CASE WHEN size({arr}) > 0 THEN "
-                f"CAST({best} AS DOUBLE) / length({text_col}) ELSE 0.0 END"
-            ),
-        )
+        out = out.withColumn(col, F.expr(_top_share_sql(text_col, n)))
     g5 = _ngram_arr(text_col, 5)
     # singles = runs of length exactly 1: +1 on each run start, −1 when
     # a run reaches length 2 (never adjusted again past that)
@@ -227,3 +233,84 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
         red = F.regexp_replace(red, pat, token)
     return out.withColumn("text_redacted", red)
+
+
+def quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 20,
+    max_words: int = 100_000,
+    mean_word_len_lo: float = 2.0,
+    mean_word_len_hi: float = 12.0,
+    min_alpha_ratio: float = 0.6,
+    max_dup_word_ratio: float = 0.6,
+    max_top2gram_frac: float = 0.2,
+) -> DataFrame:
+    """The composite document quality FILTER step (C4 / Gopher-rule
+    style — Raffel et al. 2020 §2.2, Rae et al. 2021 §A1.1): every doc
+    gets ``keep`` plus a ``drop_reason`` naming the FIRST failing rule
+    in a fixed precedence order, so downstream attrition reports
+    (docs dropped per reason per source) are deterministic and
+    auditable — the operational requirement that separates a filter
+    PIPELINE from a boolean soup.
+
+    Precedence: ``too_short`` → ``too_long`` → ``word_len`` (mean word
+    length outside [lo, hi]) → ``alpha`` (alphabetic character ratio
+    below min) → ``dup_words`` (duplicate-word ratio above max) →
+    ``rep_2gram`` (top-2-gram character share above max) → ``keep``
+    (reason ``'keep'``).
+
+    Every signal is a pure projection (no shuffle, scan speed at any
+    corpus size) built from exact int/int or two-op IEEE arithmetic,
+    so any SQL engine reproduces the decisions bit-for-bit — the
+    *quality_filter* driver gate value-compares the per-(source,
+    reason) attrition counts AND the kept token mass against DuckDB.
+    """
+    words = words_col(text_col)
+    n_words = F.size(words)
+    text = F.col(text_col)
+    n_chars = F.length(text)
+    mean_word_len = (n_chars - (n_words - 1)).cast("double") / n_words
+    n_alpha = F.length(F.regexp_replace(text, r"[^a-zA-Z]", ""))
+    alpha_ratio = n_alpha.cast("double") / F.greatest(n_chars, F.lit(1))
+    dup_ratio = 1.0 - F.size(F.array_distinct(words)).cast("double") / n_words
+    top2 = F.expr(_top_share_sql(text_col, 2))
+    reason = (
+        F.when(n_words < min_words, "too_short")
+        .when(n_words > max_words, "too_long")
+        .when(
+            (mean_word_len < mean_word_len_lo) | (mean_word_len > mean_word_len_hi),
+            "word_len",
+        )
+        .when(alpha_ratio < min_alpha_ratio, "alpha")
+        .when(dup_ratio > max_dup_word_ratio, "dup_words")
+        .when(top2 > max_top2gram_frac, "rep_2gram")
+        .otherwise("keep")
+    )
+    return df.withColumn("drop_reason", reason).withColumn(
+        "keep", F.col("drop_reason") == "keep"
+    )
+
+
+def vocab_topk(df: DataFrame, k: int = 100, text_col: str = "text") -> DataFrame:
+    """Corpus vocabulary top-k: global word frequencies, highest-count
+    first with words as the deterministic tie-break — the vocab-build /
+    Zipf-audit step of a tokenizer pipeline.
+
+    Plan shape at scale: explode → two-phase hash count (partial
+    map-side combine absorbs the Zipf head before the shuffle, so the
+    exchange carries ≤ |vocab| rows per mapper, not |tokens|), then
+    ``orderBy(...).limit(k)`` which Spark executes as
+    TakeOrderedAndProject — every partition keeps only its own top-k,
+    the driver merges k·partitions rows. No global sort ever
+    materializes, so a 10⁸-type vocabulary costs one shuffle."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    words = words_col(text_col)
+    return (
+        df.select(F.explode(words).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("word").asc())
+        .limit(k)
+    )

@@ -165,3 +165,68 @@ def test_value_histogram_bins_and_fracs(spark):
     # null excluded: b has exactly one counted row
     assert got[("b", 10)] == (1, 1.0, 50.0)
     assert sum(n for (k, _), (n, _, _) in got.items() if k == "a") == 7
+
+
+def test_quality_filter_reasons_and_precedence(spark):
+    """Each rule fires on its fixture; a doc failing several rules gets
+    the FIRST failing reason in precedence order."""
+    rows = [
+        (1, "a b c"),                                    # 3 words -> too_short
+        (2, " ".join(f"w{i}" for i in range(30))),       # 30 distinct -> too_long (max=25)
+        (3, " ".join(["x"] * 10)),                       # mwl=1 -> word_len
+        (4, " ".join(["1234 5678"] * 5)),                # digits -> alpha
+        (5, " ".join(["same"] * 10)),                    # mwl=4 ok, alpha ok -> dup_words
+        (6, " ".join("word" + chr(97 + i) for i in range(10))),  # clean -> keep
+        # fails word_len AND alpha AND dup -> precedence says word_len
+        (7, " ".join(["9"] * 10)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    out = {
+        r["doc_id"]: (r["drop_reason"], r["keep"])
+        for r in textops.quality_filter(
+            df,
+            min_words=5,
+            max_words=25,
+            mean_word_len_lo=2.0,
+            mean_word_len_hi=12.0,
+            min_alpha_ratio=0.6,
+            max_dup_word_ratio=0.5,
+            max_top2gram_frac=0.9,
+        ).collect()
+    }
+    assert out[1] == ("too_short", False)
+    assert out[2] == ("too_long", False)
+    assert out[3] == ("word_len", False)
+    assert out[4] == ("alpha", False)
+    assert out[5] == ("dup_words", False)
+    assert out[6] == ("keep", True)
+    assert out[7] == ("word_len", False)
+
+
+def test_quality_filter_rep_2gram_rule(spark):
+    # distinct words so dup rule can't fire, but one repeated long
+    # 2-gram dominates the character mass
+    text = "alphabet soup alphabet soup alphabet soup extra1 extra2 extra3 extra4"
+    df = spark.createDataFrame([(1, text)], "doc_id: long, text: string")
+    out = textops.quality_filter(
+        df,
+        min_words=2,
+        max_words=100,
+        mean_word_len_lo=2.0,
+        mean_word_len_hi=12.0,
+        min_alpha_ratio=0.5,
+        max_dup_word_ratio=0.9,
+        max_top2gram_frac=0.3,
+    ).collect()[0]
+    assert out["drop_reason"] == "rep_2gram" and not out["keep"]
+
+
+def test_vocab_topk_counts_ties_and_limit(spark):
+    df = spark.createDataFrame(
+        [(1, "b a b c"), (2, "a b z z")], "doc_id: long, text: string"
+    )
+    got = [(r["word"], r["n"]) for r in textops.vocab_topk(df, k=3).collect()]
+    # b:3, a:2, z:2 -- tie a/z broken by word ASC; c cut by the limit
+    assert got == [("b", 3), ("a", 2), ("z", 2)]
+    with pytest.raises(ValueError):
+        textops.vocab_topk(df, k=0)

@@ -282,6 +282,22 @@ def main() -> None:
                    "BroadcastNestedLoopJoin" not in plan
                    and "CartesianProduct" not in plan, plan))
 
+    # 22. vocab top-k: TakeOrderedAndProject (per-partition top-k merge
+    # at the driver), never a global Sort of the whole vocabulary
+    from rust_timeseries_spark.operators import textops as textops_ops
+
+    plan = explain_str(textops_ops.vocab_topk(docs_ep, k=100))
+    checks.append(("vocab topk: TakeOrderedAndProject, no global sort",
+                   "TakeOrderedAndProject" in plan
+                   and len(re.findall(r"^\(\d+\) Sort", plan, re.M)) == 0, plan))
+
+    # 23. quality filter: the per-doc decision is a shuffle-free
+    # projection — only the attrition groupBy adds Exchanges
+    qf = textops_ops.quality_filter(docs_ep).select("doc_id", "drop_reason", "keep")
+    plan = explain_str(qf)
+    checks.append(("quality filter: decision projection has 0 Exchanges",
+                   len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 0, plan))
+
     failures = 0
     for name, ok, plan in checks:
         print(f"[{'ok' if ok else 'FAIL'}] {name}")

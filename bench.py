@@ -118,6 +118,8 @@ def main() -> None:
         "stratified_sample",
         "quality_filter",
         "vocab_topk",
+        "winsorize_events",
+        "url_domain_stats",
     ]
     qs = entrymod.queries()
 

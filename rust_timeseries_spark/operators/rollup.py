@@ -344,6 +344,62 @@ def quantile_rollup(
     return g.select(*out)
 
 
+def winsorize(
+    df: DataFrame,
+    keys: list[str] | None = None,
+    value_col: str = "value",
+    p_lo: float = 0.05,
+    p_hi: float = 0.95,
+) -> DataFrame:
+    """Per-key WINSORIZATION — clip each value into its key's exact
+    [p_lo, p_hi] percentile band, the outlier-taming step run before
+    means/EWMA on heavy-tailed metrics. Two passes:
+
+    1. bounds aggregate: one shuffle on ``keys``; exact interpolated
+       percentiles via the same spelled-out ``lo + (hi−lo)·frac``
+       convention as ``quantile_rollup`` (engines disagree in the last
+       ulp of their built-in interpolations — one pinned formula makes
+       the clip bounds, and therefore every clipped value,
+       bit-portable);
+    2. bounds join back — a broadcast hash join (the bounds table has
+       one row per key) — and a clip projection.
+
+    The exact path buffers each key's sorted values (fine to ~10⁷
+    rows/key); for giant keys swap stage 1 to ``approx_percentile``
+    and keep the identical stage 2 (same escape documented on
+    ``quantile_rollup``). Adds ``clip_lo``/``clip_hi``, the clipped
+    ``{value_col}_w``, and ``clipped_below``/``clipped_above`` flags.
+    """
+    if not (0.0 <= p_lo < p_hi <= 1.0):
+        raise ValueError(f"need 0 <= p_lo < p_hi <= 1, got {p_lo=} {p_hi=}")
+    keys = keys if keys is not None else ["event_type"]
+    v = F.col(value_col).cast("double")
+    g = (
+        df.where(v.isNotNull())
+        .groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sort_array(F.collect_list(v)).alias("_vs"),
+        )
+    )
+    nn = F.col("_n")
+    bcols = []
+    for p, name in ((p_lo, "clip_lo"), (p_hi, "clip_hi")):
+        rank = F.lit(float(p)) * (nn - 1).cast("double")
+        li = F.floor(rank)
+        lo = F.element_at("_vs", (li + 1).cast("int"))
+        hi = F.element_at("_vs", F.least(li + 2, nn.cast("long")).cast("int"))
+        bcols.append((lo + (hi - lo) * (rank - li)).alias(name))
+    bounds = g.select(*keys, *bcols)
+    j = df.join(F.broadcast(bounds), keys, "left")
+    clipped = F.least(F.greatest(v, F.col("clip_lo")), F.col("clip_hi"))
+    return (
+        j.withColumn(f"{value_col}_w", clipped)
+        .withColumn("clipped_below", v < F.col("clip_lo"))
+        .withColumn("clipped_above", v > F.col("clip_hi"))
+    )
+
+
 def value_histogram(
     df: DataFrame,
     lo: float,

@@ -1019,3 +1019,30 @@ def test_stratified_sample_n_exactness_and_stability(spark, sf_dir):
     assert ids5 <= ids10 and len(ids5) == sum(min(5, c) for c in sizes.values())
     with pytest.raises(ValueError):
         sampling.stratified_sample_n(docs, 0)
+
+
+def test_url_parts_fixtures(spark):
+    from rust_timeseries_spark.operators import urlops
+
+    rows = [
+        (1, "https://www.example.com/a/b/c"),
+        (2, "http://user@img.news.co:8080/x?q=1#f"),
+        (3, "ftp://single/"),
+        (4, "https://a.b.c.d.example.org"),
+        (5, "nos cheme plain text"),
+        (6, "http://host.com/a//b/"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, url: string")
+    got = {r["doc_id"]: (r["scheme"], r["host"], r["reg_domain"], r["path"], r["path_depth"])
+           for r in urlops.with_url_parts(df).collect()}
+    assert got[1] == ("https", "www.example.com", "example.com", "/a/b/c", 3)
+    # user@ and :port stripped; query/fragment stripped from path
+    assert got[2] == ("http", "img.news.co", "news.co", "/x", 1)
+    # single-label host is its own registered domain
+    assert got[3] == ("ftp", "single", "single", "/", 0)
+    # deep subdomain chain -> last two labels
+    assert got[4] == ("https", "a.b.c.d.example.org", "example.org", "", 0)
+    # no scheme: scheme '' and the text is treated as authority-less junk
+    assert got[5][0] == ""
+    # empty segments from '//' and trailing '/' are not counted
+    assert got[6] == ("http", "host.com", "host.com", "/a//b/", 2)

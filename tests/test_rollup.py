@@ -1,5 +1,6 @@
 import numpy as np
 import pandas as pd
+import pytest
 from pyspark.sql import functions as F
 
 from rust_timeseries_spark import datagen
@@ -267,3 +268,20 @@ def test_sketch_fold_vs_direct(spark):
     # lg_k=12 → rsd ~1.6%; 5% is ≥3σ
     assert abs(fold_b - 20000) <= 0.05 * 20000
     assert abs(direct_b - 20000) <= 0.05 * 20000
+
+
+def test_winsorize_matches_numpy_clip(spark):
+    import numpy as np
+    from rust_timeseries_spark.operators import rollup as R
+
+    vals = [float(x) for x in (1, 2, 3, 4, 5, 6, 7, 8, 9, 100, -50, 5)]
+    df = spark.createDataFrame([("k", v) for v in vals], "event_type: string, value: double")
+    out = R.winsorize(df, keys=["event_type"], p_lo=0.1, p_hi=0.9).collect()
+    lo, hi = np.percentile(np.array(vals), [10, 90], method="linear")
+    got = sorted(r["value_w"] for r in out)
+    want = sorted(float(np.clip(v, lo, hi)) for v in vals)
+    assert got == pytest.approx(want, abs=0)
+    assert sum(r["clipped_below"] for r in out) == sum(1 for v in vals if v < lo)
+    assert sum(r["clipped_above"] for r in out) == sum(1 for v in vals if v > hi)
+    with pytest.raises(ValueError):
+        R.winsorize(df, p_lo=0.5, p_hi=0.5)

@@ -298,6 +298,21 @@ def main() -> None:
     checks.append(("quality filter: decision projection has 0 Exchanges",
                    len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 0, plan))
 
+    # 24. winsorize: the per-key bounds table joins back via BROADCAST
+    # (one row per key), never a shuffle of the fact side for the join
+    plan = explain_str(rollup.winsorize(ev, keys=["event_type"]))
+    checks.append(("winsorize: bounds join is BroadcastHashJoin",
+                   "BroadcastHashJoin" in plan
+                   and "SortMergeJoin" not in plan, plan))
+
+    # 25. url decomposition: shuffle-free codegen projection
+    from rust_timeseries_spark.operators import urlops as urlops_ops
+
+    urls = docs_ep.selectExpr("doc_id", "concat('https://www.', source, '.com/a/b') AS url")
+    plan = explain_str(urlops_ops.with_url_parts(urls))
+    checks.append(("url parts: 0 Exchanges (scan-speed projection)",
+                   len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 0, plan))
+
     failures = 0
     for name, ok, plan in checks:
         print(f"[{'ok' if ok else 'FAIL'}] {name}")

@@ -120,6 +120,17 @@ def main() -> None:
         "vocab_topk",
         "winsorize_events",
         "url_domain_stats",
+        "line_dedup",
+        "dup_span_stats",
+        "embedding_kmeans",
+        "weighted_sample",
+        # cheap scan gates, benched so the perf surface stays congruent
+        # with the correctness surface (r4 verdict item 8)
+        "acd_forecast_1h",
+        "dedup_fingerprints",
+        "doc_token_stats",
+        "embedding_norms",
+        "lang_id",
     ]
     qs = entrymod.queries()
 

@@ -674,3 +674,143 @@ def embedding_near_dup_pairs(
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# cross-corpus line/chunk dedup + duplicated-span detection
+# ---------------------------------------------------------------------------
+
+def chunk_col(text_col: str = "text", chunk_words: int = 8):
+    """Fixed-width word chunks ("lines" for corpora without newlines):
+    consecutive ``chunk_words``-word segments of the whitespace token
+    stream, the last one possibly short. JVM transform — no Python in
+    the row path. Reference parity: the C4 pipeline's unit of global
+    dedup is the line; driver corpora have no newlines, so the fixed
+    word window is the deterministic stand-in both engines can derive
+    identically."""
+    words = words_col(text_col)
+    n = F.size(words)
+    n_chunks = F.ceil(n.cast("double") / F.lit(float(chunk_words))).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(n_chunks, F.lit(1)) - F.lit(1)),
+        lambda i: F.concat_ws(" ", F.slice(words, i * chunk_words + 1, chunk_words)),
+    )
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_words: int = 8,
+) -> DataFrame:
+    """C4-style global line dedup: explode fixed-width word chunks,
+    keep exactly ONE occurrence of each distinct chunk corpus-wide —
+    the lexicographically smallest ``(doc_id, chunk_idx)`` — and
+    reconstruct each document from its surviving chunks in order.
+
+    Plan: posexplode → groupBy(chunk) with a partial-aggregating
+    ``min(struct(id, idx))`` (map-side combine, one hash shuffle on the
+    chunk text) → semi-join winners back → per-doc sort_array rebuild.
+    At 100 TB the shuffle key is the chunk string; swapping it for
+    ``xxhash64(chunk)`` halves payload at the cost of the live SQL
+    oracle, so the hash variant is left to the caller.
+
+    Returns one row per input document: ``id_col``, ``n_chunks``,
+    ``n_kept``, ``text_dedup`` (may be empty when every chunk lost).
+    """
+    chunks = (
+        df.select(F.col(id_col), F.posexplode(chunk_col(text_col, chunk_words)).alias("idx", "chunk"))
+    )
+    winners = chunks.groupBy("chunk").agg(
+        F.min(F.struct(F.col(id_col).alias("i"), F.col("idx").alias("x"))).alias("w")
+    ).select("chunk", F.col("w.i").alias(id_col), F.col("w.x").alias("idx"))
+    kept = chunks.join(winners, ["chunk", id_col, "idx"], "left_semi")
+    per_doc_kept = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "chunk"))),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("text_dedup"),
+    )
+    totals = chunks.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("n_chunks"))
+    return (
+        totals.join(per_doc_kept, id_col, "left")
+        .select(
+            id_col,
+            "n_chunks",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+        )
+    )
+
+
+def dup_span_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram_k: int = 8,
+) -> DataFrame:
+    """Exact duplicated-span detection (the substring-dedup signal of
+    Lee et al., "Deduplicating Training Data Makes Language Models
+    Better", word-level): a position ``p`` of a document is *covered*
+    when some ``ngram_k``-gram starting in ``(p-k, p]`` also occurs in
+    at least one OTHER document. Reports, per document, how many token
+    positions duplicated spans cover.
+
+    Plan: explode k-gram start positions → groupBy(gram) with a
+    two-value partial agg (min/max doc) to decide cross-doc duplication
+    without a distinct-count shuffle → semi-join duplicated starts back
+    → per-doc interval union via one lag window (covered ends never
+    need per-position rows: consecutive duplicated starts s₁<s₂ add
+    ``min(k, s₂-s₁)`` new covered positions).
+
+    Returns per-doc rows: ``id_col``, ``n_tokens``, ``n_dup_starts``,
+    ``covered_tokens``."""
+    from pyspark.sql import Window
+    words = words_col(text_col)
+    n_tok = F.size(words).cast("long")
+    base = df.select(F.col(id_col), n_tok.alias("n_tokens"), words.alias("_w"))
+    grams = base.where(F.col("n_tokens") >= ngram_k).select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), (F.col("n_tokens") - F.lit(ngram_k - 1)).cast("int")),
+                lambda i: F.concat_ws(" ", F.slice(F.col("_w"), i, ngram_k)),
+            )
+        ).alias("pos", "gram"),
+    )
+    dup_grams = (
+        grams.groupBy("gram")
+        .agg(F.min(id_col).alias("_lo"), F.max(id_col).alias("_hi"))
+        .where(F.col("_lo") != F.col("_hi"))
+        .select("gram")
+    )
+    dup_starts = grams.join(dup_grams, "gram", "left_semi")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    covered = (
+        dup_starts.withColumn("_prev", F.lag("pos").over(w))
+        .withColumn(
+            "_new",
+            F.when(F.col("_prev").isNull(), F.lit(ngram_k)).otherwise(
+                F.least(F.lit(ngram_k), F.col("pos") - F.col("_prev"))
+            ),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_dup_starts"),
+            F.sum("_new").cast("long").alias("covered_tokens"),
+        )
+    )
+    return (
+        base.select(id_col, "n_tokens")
+        .join(covered, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce("n_dup_starts", F.lit(0)).cast("long").alias("n_dup_starts"),
+            F.coalesce("covered_tokens", F.lit(0)).cast("long").alias("covered_tokens"),
+        )
+    )

@@ -238,3 +238,42 @@ def mixture_sample(
         .drop("_mx_h", budget_col)
     )
     return out
+
+
+def weighted_sample_n(
+    df: DataFrame,
+    n: int,
+    weight_col: str,
+    keys: list[str] | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement — the
+    Efraimidis–Spirakis A-ES scheme with HASH-derived uniforms: each
+    row gets rank key ``ln(u)/w`` where ``u = (stable_hash32(id)+0.5)
+    / 2³²`` and ``w = weight_col > 0``; the top-``n`` keys (per
+    ``keys`` stratum if given) are an exact weighted sample, and the
+    SAME rows win on every run, engine, and partitioning. Heavier rows
+    get proportionally higher inclusion odds (w→∞ ⇒ key→0⁻, the max).
+
+    Plan: one projection + a per-stratum top-n (rank window after a
+    hash shuffle on the stratum keys; for the unstratified case a
+    single TakeOrderedAndProject — no global sort). ``ln`` is libm
+    math, but keys of distinct rows differ at O(key-gap) ≫ cross-libm
+    ulp noise, so the selected SET is engine-stable; exact ties are
+    broken by id."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    u = (stable_hash32(id_col) + F.lit(0.5)) / F.lit(float(_M32))
+    key = F.log(u) / F.col(weight_col).cast("double")
+    out = df.withColumn("samp_key", key)
+    order = [F.desc("samp_key"), F.asc(id_col)]
+    if keys:
+        w = Window.partitionBy(*keys).orderBy(*order)
+        return (
+            out.withColumn("samp_rank", F.row_number().over(w))
+            .where(F.col("samp_rank") <= n)
+        )
+    return out.orderBy(*order).limit(n).withColumn(
+        "samp_rank",
+        F.row_number().over(Window.orderBy(*order)),
+    )

@@ -287,3 +287,85 @@ def cosine_topk_ivf(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
     return cands.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+# ---------------------------------------------------------------------------
+# distributed Lloyd k-means (full-corpus clustering, fixed iterations)
+# ---------------------------------------------------------------------------
+
+def kmeans_lloyd(
+    df: DataFrame,
+    k: int = 8,
+    n_iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, np.ndarray]:
+    """Distributed Lloyd k-means over the FULL corpus (unlike
+    ``train_ivf_centroids``, whose quantizer trains on a bounded
+    sample): a fixed number of deterministic iterations for embedding-
+    space corpus clustering (semantic bucketing of training data).
+
+    * Init: the ``k`` vectors with the smallest ids (deterministic,
+      engine-independent; a bounded ``orderBy(id).limit(k)`` collect).
+    * Assignment: one numpy squared-L2 matrix per Arrow batch against
+      the broadcast ``(k, dim)`` centroid matrix — the sign-LSH/IVF
+      plan shape, scan-speed over any corpus size. Ties (measure-zero
+      for real embeddings) break to the lowest cluster id via argmin.
+    * Update: posexplode to ``(cluster, dim_idx, val)`` and a
+      partial-aggregating groupBy — the shuffle carries k·dim partial
+      sums per map task, not vectors — then a bounded k·dim collect
+      feeds the next broadcast. No driver-side data-proportional work.
+
+    Returns ``(assignments, centroids)``: per-row ``id_col, cluster,
+    sq_dist`` plus the final float64 ``(k, dim)`` centroid array.
+    """
+    if k < 1 or n_iters < 1:
+        raise ValueError(f"k and n_iters must be >= 1, got k={k}, n_iters={n_iters}")
+    seed_rows = df.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
+    if len(seed_rows) < k:
+        raise ValueError(f"need at least k={k} vectors, got {len(seed_rows)}")
+    cents = np.array([r[vec_col] for r in seed_rows], dtype=np.float64)
+    dim = cents.shape[1]
+
+    def _assign(centroids: np.ndarray) -> DataFrame:
+        c = np.ascontiguousarray(centroids)
+
+        @F.pandas_udf(T.StructType([
+            T.StructField("cluster", T.IntegerType()),
+            T.StructField("sq_dist", T.DoubleType()),
+        ]))
+        def _arg(vecs: pd.Series) -> pd.DataFrame:
+            if len(vecs) == 0:
+                return pd.DataFrame({"cluster": pd.Series([], dtype="int32"),
+                                     "sq_dist": pd.Series([], dtype="float64")})
+            mat = np.stack(vecs.to_numpy()).astype(np.float64)
+            # (B, k, dim) diff tensor: exact (x−c)² sums — numerically the
+            # same formula the SQL oracle spells out, no |x|²−2x·c rewrite
+            d2 = ((mat[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            amin = d2.argmin(axis=1)
+            return pd.DataFrame({
+                "cluster": amin.astype("int32"),
+                "sq_dist": d2[np.arange(len(mat)), amin],
+            })
+
+        a = df.select(F.col(id_col), F.col(vec_col), _arg(F.col(vec_col)).alias("_a"))
+        return a.select(id_col, vec_col, F.col("_a.cluster").alias("cluster"),
+                        F.col("_a.sq_dist").alias("sq_dist"))
+
+    for _ in range(n_iters - 1):
+        assigned = _assign(cents)
+        sums = (
+            assigned.select("cluster", F.posexplode(vec_col).alias("dim_idx", "val"))
+            .groupBy("cluster", "dim_idx")
+            .agg(F.sum(F.col("val").cast("double")).alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new = cents.copy()  # empty cluster keeps its previous centroid
+        acc = np.zeros((k, dim)), np.zeros(k)
+        for r in sums:
+            acc[0][r["cluster"], r["dim_idx"]] = r["s"]
+            acc[1][r["cluster"]] = r["n"]
+        nonempty = acc[1] > 0
+        new[nonempty] = acc[0][nonempty] / acc[1][nonempty, None]
+        cents = new
+    return _assign(cents).drop(vec_col), cents

@@ -1046,3 +1046,132 @@ def test_url_parts_fixtures(spark):
     assert got[5][0] == ""
     # empty segments from '//' and trailing '/' are not counted
     assert got[6] == ("http", "host.com", "host.com", "/a//b/", 2)
+
+
+# ---------------------------------------------------------------------------
+# line dedup / duplicated spans / distributed k-means / weighted sampling
+# ---------------------------------------------------------------------------
+
+def test_line_dedup_drops_later_copies_and_rebuilds(spark):
+    # doc 0 owns chunk A; doc 1 repeats A then has its own B; doc 2 is
+    # an exact copy of doc 0 and must come back empty
+    a = "a b c d e f g h"
+    b = "p q r s t u v w"
+    rows = [(0, a), (1, a + " " + b), (2, a)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in dedup.line_dedup(df, chunk_words=8).collect()}
+    assert out[0]["n_chunks"] == 1 and out[0]["n_kept"] == 1
+    assert out[0]["text_dedup"] == a
+    assert out[1]["n_chunks"] == 2 and out[1]["n_kept"] == 1
+    assert out[1]["text_dedup"] == b
+    assert out[2]["n_kept"] == 0 and out[2]["text_dedup"] == ""
+
+
+def test_line_dedup_keeps_each_chunk_exactly_once(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    out = dedup.line_dedup(docs, chunk_words=8)
+    total_kept = out.agg(F.sum("n_kept")).collect()[0][0]
+    distinct_chunks = (
+        docs.select(F.explode(dedup.chunk_col("text", 8)).alias("c"))
+        .select(F.countDistinct("c"))
+        .collect()[0][0]
+    )
+    assert total_kept == distinct_chunks
+    # within-doc order: rebuilt text is a subsequence of the original chunks
+    row = out.where((F.col("n_kept") > 1) & (F.col("n_kept") == F.col("n_chunks"))).first()
+    orig = {r["doc_id"]: r["text"] for r in docs.collect()}
+    assert row["text_dedup"] == orig[row["doc_id"]]
+
+
+def test_dup_span_interval_union(spark):
+    # doc 0 and doc 1 share ONE 8-gram at doc-1 positions 0 and 2 (the
+    # 8-gram repeats, shifted by 2) -> union of [0,8) and [2,10) = 10
+    shared = "a b c d e f g h"
+    rows = [
+        (0, shared + " z1 z2"),          # dup start at pos 0 only: covered 8
+        (1, "a b " + shared + " i j"),   # doc1 grams: pos0 'a b a b c d e f'? no —
+        (2, "x1 x2 x3 x4 x5 x6 x7"),     # 7 tokens: below k, zero rows
+    ]
+    # build doc1 so the shared gram occurs at two overlapping starts:
+    rows[1] = (1, shared + " " + "a b c d e f g h".replace("a ", "", 1))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in dedup.dup_span_stats(df, ngram_k=8).collect()}
+    assert out[0]["n_dup_starts"] >= 1 and out[0]["covered_tokens"] >= 8
+    assert out[2]["n_dup_starts"] == 0 and out[2]["covered_tokens"] == 0
+    # covered never exceeds n_tokens
+    assert all(r["covered_tokens"] <= r["n_tokens"] for r in out.values())
+
+
+def test_dup_span_overlapping_starts_union_exactly(spark):
+    # two docs, identical 10-token text: every one of the 3 8-gram
+    # starts is duplicated; union of [0,8),[1,9),[2,10) = 10 tokens
+    t = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9"
+    df = spark.createDataFrame([(0, t), (1, t)], ["doc_id", "text"])
+    out = dedup.dup_span_stats(df, ngram_k=8).collect()
+    for r in out:
+        assert r["n_tokens"] == 10
+        assert r["n_dup_starts"] == 3
+        assert r["covered_tokens"] == 10
+
+
+def test_kmeans_k1_is_global_mean(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    assigned, cents = similarity.kmeans_lloyd(emb, k=1, n_iters=2)
+    x = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in emb.collect()])
+    np.testing.assert_allclose(cents[0], x.mean(axis=0), rtol=1e-12)
+    got = assigned.agg(F.sum("sq_dist")).collect()[0][0]
+    want = ((x - x.mean(axis=0)) ** 2).sum()
+    np.testing.assert_allclose(got, want, rtol=1e-9)
+
+
+def test_kmeans_objective_non_increasing_and_stable(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    inert = []
+    for it in (1, 2, 3):
+        assigned, _ = similarity.kmeans_lloyd(emb, k=4, n_iters=it)
+        inert.append(assigned.agg(F.sum("sq_dist")).collect()[0][0])
+    assert inert[1] <= inert[0] + 1e-9 and inert[2] <= inert[1] + 1e-9
+    # partitioning-independence: same assignments on a repartitioned input
+    a1, _ = similarity.kmeans_lloyd(emb, k=4, n_iters=2)
+    a2, _ = similarity.kmeans_lloyd(emb.repartition(7), k=4, n_iters=2)
+    m1 = {r["vec_id"]: r["cluster"] for r in a1.collect()}
+    m2 = {r["vec_id"]: r["cluster"] for r in a2.collect()}
+    assert m1 == m2
+
+
+def test_kmeans_validation():
+    with pytest.raises(ValueError, match="k and n_iters"):
+        similarity.kmeans_lloyd(None, k=0)
+    with pytest.raises(ValueError, match="k and n_iters"):
+        similarity.kmeans_lloyd(None, k=2, n_iters=0)
+
+
+def test_weighted_sample_determinism_and_weight_pull(spark, sf_dir):
+    from rust_timeseries_spark.operators import sampling
+
+    docs = _docs(spark, sf_dir)
+    s1 = sampling.weighted_sample_n(docs, n=7, weight_col="n_chars", keys=["source"])
+    s2 = sampling.weighted_sample_n(
+        docs.repartition(11), n=7, weight_col="n_chars", keys=["source"]
+    )
+    k1 = {(r["source"], r["doc_id"], r["samp_rank"]) for r in s1.collect()}
+    k2 = {(r["source"], r["doc_id"], r["samp_rank"]) for r in s2.collect()}
+    assert k1 == k2 and len(k1) > 0
+    # a giant weight forces inclusion at rank 1: key = ln(u)/w -> ~0-
+    big = docs.withColumn(
+        "w", F.when(F.col("doc_id") == 3, 1e12).otherwise(F.lit(1.0))
+    )
+    top = sampling.weighted_sample_n(big, n=1, weight_col="w")
+    assert top.collect()[0]["doc_id"] == 3
+
+
+def test_weighted_sample_small_groups_and_validation(spark):
+    from rust_timeseries_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 5.0)], ["doc_id", "g", "w"]
+    )
+    out = sampling.weighted_sample_n(df, n=5, weight_col="w", keys=["g"])
+    assert out.count() == 3  # n > group size returns the whole group
+    with pytest.raises(ValueError, match="n must be"):
+        sampling.weighted_sample_n(df, n=0, weight_col="w")

@@ -313,6 +313,42 @@ def main() -> None:
     checks.append(("url parts: 0 Exchanges (scan-speed projection)",
                    len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 0, plan))
 
+    # 26. line dedup: winner selection is a partial-aggregating
+    # min-struct groupBy (map-side combine before the chunk shuffle),
+    # survivors come back via a LeftSemi equi-join — no BNL/cartesian
+    plan = explain_str(dedup_ops.line_dedup(docs_ep))
+    checks.append(("line dedup: partial min-struct agg + LeftSemi equi-join",
+                   "LeftSemi" in plan
+                   and plan.count("HashAggregate") >= 2
+                   and "BroadcastNestedLoopJoin" not in plan
+                   and "CartesianProduct" not in plan, plan))
+
+    # 27. dup-span: duplicated grams resolve via min/max partial agg
+    # (no distinct-count shuffle) and the interval union is ONE window
+    plan = explain_str(dedup_ops.dup_span_stats(docs_ep))
+    checks.append(("dup span: partial agg + semi join + single lag window",
+                   "LeftSemi" in plan
+                   and plan.count("HashAggregate") >= 2
+                   and "CartesianProduct" not in plan
+                   and "BroadcastNestedLoopJoin" not in plan, plan))
+
+    # 28. k-means assignment: a scan-speed Arrow projection — zero
+    # Exchanges (the update step's shuffle lives in the training loop,
+    # carrying only k·dim partial sums)
+    emb_km = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    assigned_km, _ = similarity.kmeans_lloyd(emb_km, k=4, n_iters=1)
+    plan = explain_str(assigned_km)
+    checks.append(("kmeans assign: 0 Exchanges (broadcast centroids, Arrow eval)",
+                   len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 0
+                   and ("ArrowEvalPython" in plan or "Eval" in plan), plan))
+
+    # 29. weighted sample (stratified): one window Exchange, no joins
+    plan = explain_str(sampling_ops.weighted_sample_n(
+        docs_ep, n=5, weight_col="n_chars", keys=["source"]))
+    checks.append(("weighted sample: single Exchange + Window, no joins",
+                   len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
+                   and "Join" not in plan, plan))
+
     failures = 0
     for name, ok, plan in checks:
         print(f"[{'ok' if ok else 'FAIL'}] {name}")

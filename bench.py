@@ -124,6 +124,11 @@ def main() -> None:
         "dup_span_stats",
         "embedding_kmeans",
         "weighted_sample",
+        "cross_corr_1h",
+        "cusum_changepoint_1h",
+        "seasonal_profile_1h",
+        "pivot_report_1d",
+        "char_entropy",
         # cheap scan gates, benched so the perf surface stays congruent
         # with the correctness surface (r4 verdict item 8)
         "acd_forecast_1h",

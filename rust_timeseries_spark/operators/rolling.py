@@ -140,3 +140,130 @@ def lag_moments(
         )
         .withColumn("rho_tilde_sq", (F.col("gamma_j") ** 2) / F.col("tau_j"))
     )
+
+
+def cross_correlation(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str = "tok_sum",
+    max_lag: int = 5,
+    keys: list[str] | None = None,
+    order_col: str = "bucket_ts",
+) -> DataFrame:
+    """Lagged cross-correlation between two bucket series (the
+    two-series companion of ``lag_moments``, reference
+    escanciano_lobato.rs lag conventions): align ``a`` and ``b`` on
+    ``(keys, order_col)`` (inner join — overlap only), then for
+    j = 0..max_lag
+
+        r_j = Σ_{t≥j} (a_t − ā)(b_{t−j} − b̄) / ((n−j)·σ̂_a·σ̂_b)
+
+    with ā, b̄, σ̂ (population, 1/n) over the ALIGNED overlap and the
+    reference's exact ``1/(n−j)`` pair denominators. ``b`` leads:
+    positive j correlates today's ``a`` with ``b`` j buckets earlier.
+
+    Plan: one equi-join on (keys, bucket) — sort-merge at scale, both
+    sides pre-partitioned by key in a tier pipeline — a tiny broadcast
+    moments join, ONE window sort producing every lag column, explode,
+    final hash aggregate. No Python in the row path."""
+    keys = keys if keys is not None else ["key"]
+    drop_key = not keys
+    if drop_key:  # single global series pair: constant internal key.
+        # NOTE: Catalyst constant-folds this key, so the 1-row moments
+        # attach plans as a broadcast nested-loop — a scalar broadcast,
+        # safe at any scale; the keyed path plans a BroadcastHashJoin
+        # (plan check 30).
+        keys = ["_ck"]
+        df_a = df_a.withColumn("_ck", F.lit(1))
+        df_b = df_b.withColumn("_ck", F.lit(1))
+    a = df_a.select(*keys, order_col, F.col(value_col).cast("double").alias("_a"))
+    b = df_b.select(*keys, order_col, F.col(value_col).cast("double").alias("_b"))
+    j = a.join(b, [*keys, order_col])
+    moms = j.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.avg("_a").alias("_abar"),
+        F.avg("_b").alias("_bbar"),
+        F.stddev_pop("_a").alias("_sa"),
+        F.stddev_pop("_b").alias("_sb"),
+    )
+    w = Window.partitionBy(*keys).orderBy(order_col)
+    da = F.col("_a") - F.col("_abar")
+    lagged = j.join(F.broadcast(moms), keys).select(
+        *keys,
+        "_n", "_sa", "_sb",
+        da.alias("_da"),
+        *[
+            (F.lag("_b", jj).over(w) - F.col("_bbar")).alias(f"_db{jj}")
+            for jj in range(0, max_lag + 1)
+        ],
+    )
+    pairs = lagged.select(
+        *keys,
+        "_n", "_sa", "_sb",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(jj).alias("lag"),
+                        (F.col("_da") * F.col(f"_db{jj}")).alias("g"),
+                    )
+                    for jj in range(0, max_lag + 1)
+                ]
+            )
+        ).alias("_p"),
+    ).select(*keys, "_n", "_sa", "_sb", F.col("_p.lag").alias("lag"), F.col("_p.g").alias("_g"))
+    out = pairs.groupBy(*keys, "lag").agg(
+        (F.first("_n") - F.col("lag")).cast("long").alias("n_pairs"),
+        (
+            F.sum("_g")
+            / ((F.first("_n") - F.col("lag")) * F.first("_sa") * F.first("_sb"))
+        ).alias("ccf"),
+    )
+    return out.drop("_ck") if drop_key else out
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    value_col: str = "tok_sum",
+    keys: list[str] | None = None,
+    order_col: str = "bucket_ts",
+) -> DataFrame:
+    """CUSUM mean-shift changepoint per key: with S_k = Σ_{i≤k}(x_i−x̄)
+    (prefix sums in bucket order), the changepoint estimate is
+    argmax_k |S_k| (ties → earliest k) and the normalized statistic is
+    max_k |S_k| / (σ̂_pop·√n) — the standardized CUSUM whose large
+    values reject mean-constancy.
+
+    Plan: broadcast per-key moments join, ONE window sort for the
+    prefix sum, a row_number argmax (|S| DESC, position ASC — the
+    deterministic tie-break), filter rank 1. Returns one row per key:
+    ``n``, ``cp_pos`` (1-based), ``cp_<order_col>``, ``cusum_stat``."""
+    keys = keys if keys is not None else ["key"]
+    moms = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.avg(F.col(value_col).cast("double")).alias("_xbar"),
+        F.stddev_pop(F.col(value_col).cast("double")).alias("_sd"),
+    )
+    w = Window.partitionBy(*keys).orderBy(order_col)
+    wcum = w.rowsBetween(Window.unboundedPreceding, 0)
+    scored = (
+        df.join(F.broadcast(moms), keys)
+        .withColumn("_dev", F.col(value_col).cast("double") - F.col("_xbar"))
+        .withColumn("_s", F.sum("_dev").over(wcum))
+        .withColumn("_pos", F.row_number().over(w))
+    )
+    ranked = scored.withColumn(
+        "_rk",
+        F.row_number().over(
+            Window.partitionBy(*keys).orderBy(F.desc(F.abs(F.col("_s"))), F.asc("_pos"))
+        ),
+    )
+    return ranked.where(F.col("_rk") == 1).select(
+        *keys,
+        F.col("_n").cast("long").alias("n"),
+        F.col("_pos").cast("long").alias("cp_pos"),
+        F.col(order_col).alias(f"cp_{order_col}"),
+        (F.abs(F.col("_s")) / (F.col("_sd") * F.sqrt(F.col("_n").cast("double")))).alias(
+            "cusum_stat"
+        ),
+    )

@@ -522,3 +522,73 @@ def tier_diff(tier_a: DataFrame, tier_b: DataFrame) -> DataFrame:
     only_a = tier_a.select(*cols).exceptAll(tier_b.select(*cols)).withColumn("side", F.lit("a"))
     only_b = tier_b.select(*cols).exceptAll(tier_a.select(*cols)).withColumn("side", F.lit("b"))
     return only_a.unionByName(only_b)
+
+
+def seasonal_profile(
+    tier_df: DataFrame,
+    period: int = 24,
+    bucket_width: int = 3600,
+    value_col: str = "tok_sum",
+    keys: list[str] | None = None,
+    bucket_col_name: str = "bucket_ts",
+) -> DataFrame:
+    """Seasonal-naive decomposition profile over an epoch-bucketed tier:
+    phase = ``(bucket_ts DIV width) % period`` (pure integer epoch math,
+    timezone-independent — phase 0 is the UTC-midnight hour for the
+    1h/24 default), then per ``(keys, phase)`` the seasonal mean/std and
+    count. Subtracting ``phase_mean`` from each bucket is the seasonal
+    adjustment; the per-phase std over n shows where the profile is
+    tight vs noisy (seasonal strength = 1 − E[var_resid]/var_total
+    follows by aggregating these rows).
+
+    One two-phase hash aggregate — the identical single-shuffle plan
+    shape as ``rollup_raw``; phase derivation is codegen projection."""
+    keys = keys if keys is not None else ["source"]
+    phase = (
+        (F.col(bucket_col_name).cast("long") / F.lit(bucket_width)).cast("long")
+        % F.lit(period)
+    ).cast("int")
+    v = F.col(value_col).cast("double")
+    return (
+        tier_df.withColumn("phase", phase)
+        .groupBy(*keys, "phase")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(v).alias("phase_sum"),
+            F.avg(v).alias("phase_mean"),
+            F.stddev_samp(v).alias("phase_std"),
+        )
+    )
+
+
+def pivot_report(
+    df: DataFrame,
+    pivot_col: str,
+    pivot_values: list[str],
+    tier: str = "1d",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    epoch: bool = True,
+) -> DataFrame:
+    """Wide pivot rollup: one row per time bucket, one (count, cents
+    sum) column pair per pinned ``pivot_values`` entry — the matrix
+    report a dashboard exports. ``pivot_values`` is REQUIRED: passing
+    the distinct set explicitly keeps the plan a single two-phase hash
+    aggregate (Spark's values-less ``pivot()`` runs a separate distinct
+    job first — a second full scan at 100 TB) and pins the output
+    schema. Currency sums use the engine's integer-cents convention
+    (pinned IEEE rounding, order-independent BIGINT sum)."""
+    b = bucket_col(ts_col, tier, epoch=epoch, dtype=dict(df.dtypes)[ts_col]).alias("bucket_ts")
+    pc = F.col(pivot_col)
+    cents = F.floor(F.col(value_col) * F.lit(100.0) + F.lit(0.5)).cast("long")
+    aggs = []
+    for val in pivot_values:
+        hit = pc == F.lit(val)
+        aggs.append(F.sum(F.when(hit, 1).otherwise(0)).cast("long").alias(f"{val}_n"))
+        aggs.append(
+            (
+                F.sum(F.when(hit, cents).otherwise(F.lit(0))).cast("decimal(38,2)")
+                / F.lit(100)
+            ).cast("decimal(38,2)").alias(f"{val}_sum")
+        )
+    return df.select(b, pc, F.col(value_col)).groupBy("bucket_ts").agg(*aggs)

@@ -314,3 +314,39 @@ def vocab_topk(df: DataFrame, k: int = 100, text_col: str = "text") -> DataFrame
         .orderBy(F.col("n").desc(), F.col("word").asc())
         .limit(k)
     )
+
+
+def with_char_entropy(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Shannon character entropy per document (bits/char) — the
+    classic gibberish/boilerplate quality signal: near-zero for
+    repeated filler, ≈4.1 for natural English, ≈6 for base64 blobs.
+
+    Stays a shuffle-free JVM projection: per-doc distinct characters ×
+    a ``size(filter(...))`` count, folded with ``F.aggregate`` —
+    O(m·distinct) per doc inside codegen, no (doc, char) explode and
+    therefore no shuffle at any corpus size. Emits ``n_chars_total``,
+    ``n_distinct_chars``, ``char_entropy``."""
+    chars = F.split(F.col(text_col), "")
+    m = F.size(chars)
+    distinct = F.array_distinct(chars)
+    # p·log2(p) summed over the per-doc alphabet; aggregate is a left
+    # fold in array order (deterministic — array_distinct preserves
+    # first-occurrence order on both engines' oracle spelling)
+    ent = F.aggregate(
+        distinct,
+        F.lit(0.0),
+        lambda acc, c: acc
+        - (
+            F.size(F.filter(chars, lambda x: x == c)).cast("double")
+            / m.cast("double")
+        )
+        * F.log2(
+            F.size(F.filter(chars, lambda x: x == c)).cast("double")
+            / m.cast("double")
+        ),
+    )
+    return (
+        df.withColumn("n_chars_total", m.cast("long"))
+        .withColumn("n_distinct_chars", F.size(distinct).cast("long"))
+        .withColumn("char_entropy", ent)
+    )

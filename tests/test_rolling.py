@@ -37,3 +37,59 @@ def test_rolling_stats_trailing_window(spark):
     assert got["roll_min"].tolist() == [1, 1, 1, 2, 3, 4, 5, 6, 7, 8]
     assert got["roll_max"].tolist() == list(range(1, 11))
     assert got["roll_count"].tolist() == [1, 2, 3, 3, 3, 3, 3, 3, 3, 3]
+
+
+def test_cross_correlation_self_is_one_and_shift_detects(spark):
+    import pyspark.sql.functions as F
+
+    vals = [(i, float(v)) for i, v in enumerate([3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8])]
+    a = spark.createDataFrame(vals, ["bucket_ts", "tok_sum"])
+    # self-correlation at lag 0 is exactly 1 (pop-std normalization)
+    cc = rolling.cross_correlation(a, a, max_lag=2, keys=[], order_col="bucket_ts")
+    r0 = {r["lag"]: r for r in cc.collect()}
+    assert abs(r0[0]["ccf"] - 1.0) < 1e-12
+    assert r0[0]["n_pairs"] == 12 and r0[1]["n_pairs"] == 11
+    # positive j correlates a_t with b_{t-j}: shift b one bucket EARLIER
+    # (b leads) and the lag-1 ccf pairs av_t with bv_{t-1} = a_t -> ~1
+    b = a.withColumn("bucket_ts", F.col("bucket_ts") - 1)
+    cc2 = {r["lag"]: r["ccf"] for r in rolling.cross_correlation(
+        a, b, max_lag=2, keys=[], order_col="bucket_ts").collect()}
+    assert cc2[1] == max(cc2.values()) and cc2[1] > 0.9
+
+
+def test_cross_correlation_matches_numpy(spark):
+    rng = np.random.default_rng(7)
+    av = rng.normal(size=40)
+    bv = rng.normal(size=40)
+    a = spark.createDataFrame([(i, float(v)) for i, v in enumerate(av)], ["bucket_ts", "tok_sum"])
+    b = spark.createDataFrame([(i, float(v)) for i, v in enumerate(bv)], ["bucket_ts", "tok_sum"])
+    got = {r["lag"]: r["ccf"] for r in rolling.cross_correlation(
+        a, b, max_lag=3, keys=[], order_col="bucket_ts").collect()}
+    n, abar, bbar = len(av), av.mean(), bv.mean()
+    sa, sb = av.std(), bv.std()  # population
+    for j in range(4):
+        want = float(((av[j:] - abar) * (bv[: n - j] - bbar)).sum() / ((n - j) * sa * sb))
+        assert abs(got[j] - want) < 1e-12, (j, got[j], want)
+
+
+def test_cusum_finds_planted_step(spark):
+    # 20 zeros then 20 tens: |S_k| peaks exactly at the step boundary
+    vals = [(i, 0.0) for i in range(20)] + [(i, 10.0) for i in range(20, 40)]
+    df = spark.createDataFrame([("k", t, v) for t, v in vals], ["key", "bucket_ts", "tok_sum"])
+    out = rolling.cusum_changepoint(df, value_col="tok_sum", keys=["key"],
+                                    order_col="bucket_ts").collect()[0]
+    assert out["n"] == 40
+    assert out["cp_pos"] == 20 and out["cp_bucket_ts"] == 19
+    # stat = max|S|/(sd*sqrt(n)) = (20*5)/(5*sqrt(40))
+    assert abs(out["cusum_stat"] - 100.0 / (5.0 * np.sqrt(40.0))) < 1e-12
+
+
+def test_cusum_tie_breaks_earliest(spark):
+    # symmetric +1/-1 square wave: several positions share max |S|; the
+    # earliest must win
+    vals = [1.0, -1.0, 1.0, -1.0, 1.0, -1.0]
+    df = spark.createDataFrame([("k", i, v) for i, v in enumerate(vals)],
+                               ["key", "bucket_ts", "tok_sum"])
+    out = rolling.cusum_changepoint(df, value_col="tok_sum", keys=["key"],
+                                    order_col="bucket_ts").collect()[0]
+    assert out["cp_pos"] == 1  # S = 1,0,1,0,1,0 -> first |S|=1 at pos 1

@@ -285,3 +285,42 @@ def test_winsorize_matches_numpy_clip(spark):
     assert sum(r["clipped_above"] for r in out) == sum(1 for v in vals if v > hi)
     with pytest.raises(ValueError):
         R.winsorize(df, p_lo=0.5, p_hi=0.5)
+
+
+def test_seasonal_profile_phases_and_means(spark):
+    # two keys, 48 hourly buckets: value = phase index -> phase_mean ==
+    # phase, n == 2 per phase, std == 0
+    import pyspark.sql.functions as F
+    from rust_timeseries_spark.operators import rollup as rollup_ops
+
+    rows = [("a", h * 3600, float((h % 24))) for h in range(48)]
+    df = spark.createDataFrame(rows, ["source", "bucket_ts", "tok_sum"])
+    out = rollup_ops.seasonal_profile(df, period=24, bucket_width=3600,
+                                      value_col="tok_sum", keys=["source"])
+    got = {r["phase"]: r for r in out.collect()}
+    assert len(got) == 24
+    for p, r in got.items():
+        assert r["n"] == 2
+        assert abs(r["phase_mean"] - p) < 1e-12
+        assert r["phase_std"] == 0.0
+
+
+def test_pivot_report_counts_and_sums(spark):
+    from rust_timeseries_spark.operators import rollup as rollup_ops
+
+    rows = [
+        # 1.005 is REALLY 1.00499...: the pinned convention floors the
+        # double's true binary value -> 100 cents on every engine
+        (0, "x", 1.005),
+        (3600, "x", 2.0),
+        (3600, "y", 0.994),  # floor(99.4+0.5)=99
+        (90000, "x", 10.0),
+    ]
+    df = spark.createDataFrame(rows, ["es", "event_type", "value"])
+    out = rollup_ops.pivot_report(df, "event_type", ["x", "y"], tier="1d",
+                                  ts_col="es", value_col="value")
+    got = {r["bucket_ts"]: r for r in out.collect()}
+    assert got[0]["x_n"] == 2 and str(got[0]["x_sum"]) == "3.00"
+    assert got[0]["y_n"] == 1 and str(got[0]["y_sum"]) == "0.99"
+    assert got[86400]["x_n"] == 1 and str(got[86400]["x_sum"]) == "10.00"
+    assert got[86400]["y_n"] == 0 and str(got[86400]["y_sum"]) == "0.00"

@@ -230,3 +230,16 @@ def test_vocab_topk_counts_ties_and_limit(spark):
     assert got == [("b", 3), ("a", 2), ("z", 2)]
     with pytest.raises(ValueError):
         textops.vocab_topk(df, k=0)
+
+
+def test_char_entropy_known_values(spark):
+    from rust_timeseries_spark.operators import textops as textops_ops
+
+    df = spark.createDataFrame(
+        [(0, "aaaa"), (1, "abab"), (2, "abcd")], ["doc_id", "text"]
+    )
+    got = {r["doc_id"]: r for r in textops_ops.with_char_entropy(df).collect()}
+    assert got[0]["char_entropy"] == 0.0 and got[0]["n_distinct_chars"] == 1
+    assert abs(got[1]["char_entropy"] - 1.0) < 1e-12
+    assert abs(got[2]["char_entropy"] - 2.0) < 1e-12
+    assert got[2]["n_chars_total"] == 4 and got[2]["n_distinct_chars"] == 4

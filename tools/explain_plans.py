@@ -349,6 +349,55 @@ def main() -> None:
                    len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
                    and "Join" not in plan, plan))
 
+    # 30. cross-correlation (keyed scale path): bucket equi-join + tiny
+    # broadcast moments join + ONE window sort computing every lag
+    # column — no BNL/cartesian, no per-lag re-sort. (The keys=[]
+    # single-pair variant folds its constant key and plans the 1-row
+    # moments attach as a broadcast nested-loop — a scalar broadcast,
+    # trivially safe — so the assertable contract lives on the keyed
+    # path.)
+    a_cc = t1h.select("event_type", "bucket_ts", "tok_sum")
+    b_cc = t1h.select("event_type", "bucket_ts", F.col("tok_count").alias("tok_sum"))
+    plan = explain_str(rolling.cross_correlation(
+        a_cc, b_cc, value_col="tok_sum", max_lag=3,
+        keys=["event_type"], order_col="bucket_ts"))
+    checks.append(("cross-corr (keyed): equi-join + broadcast moments + one Window",
+                   "BroadcastNestedLoopJoin" not in plan
+                   and "CartesianProduct" not in plan
+                   and "BroadcastHashJoin" in plan
+                   and plan.count("Window") <= 2, plan))
+
+    # 31. CUSUM: broadcast moments join; prefix sum and position share
+    # one window sort, the argmax adds the second — never a third
+    plan = explain_str(rolling.cusum_changepoint(
+        t1h, value_col="tok_sum", keys=["event_type"], order_col="bucket_ts"))
+    checks.append(("cusum: broadcast moments + two Window sorts, no BNL",
+                   "BroadcastNestedLoopJoin" not in plan
+                   and "CartesianProduct" not in plan
+                   and "BroadcastHashJoin" in plan, plan))
+
+    # 32. seasonal profile: the phase derivation is a projection; the
+    # whole operator is ONE two-phase hash aggregate over the tier
+    plan = explain_str(rollup.seasonal_profile(
+        t1h, period=24, bucket_width=3600, value_col="tok_sum", keys=["event_type"]))
+    checks.append(("seasonal profile: single two-phase hash aggregate",
+                   plan.count("HashAggregate") >= 2
+                   and len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) <= 2, plan))
+
+    # 33. pivot report: pinned values -> single two-phase aggregate, NO
+    # separate distinct job / extra scan
+    plan = explain_str(rollup.pivot_report(
+        ev, "event_type", ["click", "view"], tier="1d", ts_col="ts", value_col="value"))
+    checks.append(("pivot report: one scan, one two-phase aggregate",
+                   len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
+                   and plan.count("HashAggregate") >= 2
+                   and len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1, plan))
+
+    # 34. char entropy: shuffle-free codegen projection
+    plan = explain_str(textops_ops.with_char_entropy(docs_ep))
+    checks.append(("char entropy: 0 Exchanges (scan-speed projection)",
+                   len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 0, plan))
+
     failures = 0
     for name, ok, plan in checks:
         print(f"[{'ok' if ok else 'FAIL'}] {name}")

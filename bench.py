@@ -129,6 +129,9 @@ def main() -> None:
         "seasonal_profile_1h",
         "pivot_report_1d",
         "char_entropy",
+        "funnel_conversion_1d",
+        "cohort_retention_1d",
+        "event_transitions",
         # cheap scan gates, benched so the perf surface stays congruent
         # with the correctness surface (r4 verdict item 8)
         "acd_forecast_1h",

@@ -398,6 +398,30 @@ def main() -> None:
     checks.append(("char entropy: 0 Exchanges (scan-speed projection)",
                    len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 0, plan))
 
+    # 35. funnel: every join is an equi-join on the user key (the step
+    # chain co-partitions under one user shuffle) — no BNL/cartesian
+    from rust_timeseries_spark.operators import journeys
+
+    plan = explain_str(journeys.funnel_conversion(
+        ev, ["click", "purchase"], within=86400))
+    checks.append(("funnel: user equi-joins only, no cartesian/BNL",
+                   "BroadcastNestedLoopJoin" not in plan
+                   and "CartesianProduct" not in plan
+                   and ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+                        or "BroadcastHashJoin" in plan), plan))
+
+    # 36. cohort retention: two hash aggregates + ONE user equi-join
+    plan = explain_str(journeys.cohort_retention(ev, max_offset=30))
+    checks.append(("cohort: hash aggregates + user equi-join, no BNL",
+                   "BroadcastNestedLoopJoin" not in plan
+                   and "CartesianProduct" not in plan
+                   and plan.count("HashAggregate") >= 2, plan))
+
+    # 37. transitions: one window sort per user + two-phase count; no join
+    plan = explain_str(journeys.event_transitions(ev))
+    checks.append(("transitions: window + two-phase agg, no joins",
+                   "Join" not in plan and plan.count("HashAggregate") >= 2, plan))
+
     failures = 0
     for name, ok, plan in checks:
         print(f"[{'ok' if ok else 'FAIL'}] {name}")

@@ -132,6 +132,9 @@ def main() -> None:
         "funnel_conversion_1d",
         "cohort_retention_1d",
         "event_transitions",
+        "trend_ols_1h",
+        "ab_test_zstat",
+        "holt_linear_1h",
         # cheap scan gates, benched so the perf surface stays congruent
         # with the correctness surface (r4 verdict item 8)
         "acd_forecast_1h",

@@ -174,3 +174,58 @@ def event_transitions(
     return counts.withColumn(
         "share", F.round(F.col("n").cast("double") / F.sum("n").over(wtot), 4)
     )
+
+
+def ab_test_zstat(
+    user_conv: DataFrame,
+    user_col: str = "user_id",
+    conv_col: str = "conv",
+    n_variants: int = 2,
+) -> DataFrame:
+    """Two-proportion A/B z-test with DETERMINISTIC hash assignment:
+    variant = ``stable_hash32(user) % n_variants`` (the same user lands
+    in the same arm on every engine/run — the engine's stable-split
+    primitive). Input is ONE ROW PER USER with a 0/1 ``conv_col``
+    (derive it upstream however the experiment defines conversion).
+    Emits one row per variant pair (A=i, B=j, i<j) with exact counts
+    and the pooled two-proportion z statistic
+
+        z = (p_i − p_j) / √(p̄(1−p̄)(1/n_i + 1/n_j))
+
+    Every input to z is an exact integer, so the float pipeline is the
+    same short chain of IEEE ops on both engines — z is bit-identical,
+    not merely %.5e-close. z is NULL when the pooled rate is degenerate
+    (p̄ ∈ {0, 1} ⇒ se = 0 — everyone or no one converted).
+
+    Plan: one two-phase user aggregate, one tiny k-row variant
+    aggregate, then a k² broadcast self-join (k = n_variants, constant
+    — the only non-linear stage is over a constant-size table)."""
+    from .sampling import stable_hash32
+
+    users = user_conv.select(
+        F.pmod(stable_hash32(user_col), F.lit(n_variants)).cast("int").alias("variant"),
+        F.col(conv_col).cast("int").alias("_conv"),
+    )
+    arms = users.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("_conv").cast("long").alias("n_conv"),
+    )
+    a = arms.select(
+        F.col("variant").alias("variant_a"),
+        F.col("n_users").alias("n_a"),
+        F.col("n_conv").alias("conv_a"),
+    )
+    b = arms.select(
+        F.col("variant").alias("variant_b"),
+        F.col("n_users").alias("n_b"),
+        F.col("n_conv").alias("conv_b"),
+    )
+    pairs = a.join(F.broadcast(b), F.col("variant_a") < F.col("variant_b"))
+    pa = F.col("conv_a").cast("double") / F.col("n_a")
+    pb = F.col("conv_b").cast("double") / F.col("n_b")
+    pool = (F.col("conv_a") + F.col("conv_b")).cast("double") / (F.col("n_a") + F.col("n_b"))
+    var = pool * (F.lit(1.0) - pool) * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+    return pairs.select(
+        "variant_a", "variant_b", "n_a", "conv_a", "n_b", "conv_b",
+        F.when(var > 0, (pa - pb) / F.sqrt(var)).alias("z_stat"),
+    )

@@ -495,3 +495,81 @@ def ewma_distributed(
 
     joined = seg_df.join(F.broadcast(seeds_df), [*keys, "_seg"])
     return joined.groupBy(*keys, "_seg").applyInPandas(replay, out_schema)
+
+
+def holt_linear_np(
+    x: np.ndarray, alpha: float, beta: float
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Holt's linear (double-exponential) smoothing, the trend
+    extension of the ψ/EWMA recursion family:
+
+        ℓ_t = α·x_t + (1−α)·(ℓ_{t−1} + b_{t−1})
+        b_t = β·(ℓ_t − ℓ_{t−1}) + (1−β)·b_{t−1}
+        ŷ_t = ℓ_{t−1} + b_{t−1}          (one-step-ahead forecast)
+
+    Standard init ℓ_0 = x_0, b_0 = x_1 − x_0 (0 for a length-1
+    series); ŷ_0 is NaN (no history). Returns (level, trend,
+    forecast) float64 arrays; op order is pinned left-to-right so a
+    recursive-CTE oracle can mirror it."""
+    n = len(x)
+    lvl = np.empty(n, dtype=np.float64)
+    trd = np.empty(n, dtype=np.float64)
+    fc = np.empty(n, dtype=np.float64)
+    lvl[0] = x[0]
+    trd[0] = x[1] - x[0] if n > 1 else 0.0
+    fc[0] = np.nan
+    oa = 1.0 - alpha
+    ob = 1.0 - beta
+    for t in range(1, n):
+        prev = lvl[t - 1] + trd[t - 1]
+        fc[t] = prev
+        lvl[t] = alpha * x[t] + oa * prev
+        trd[t] = beta * (lvl[t] - lvl[t - 1]) + ob * trd[t - 1]
+    return lvl, trd, fc
+
+
+def holt_linear(
+    df: DataFrame,
+    keys: list[str],
+    alpha: float = 0.3,
+    beta: float = 0.2,
+    value_col: str = "v",
+    order_col: str = "t",
+) -> DataFrame:
+    """Per-key Holt linear smoothing: (keys..., order_col, value_col,
+    level, trend, forecast). Same execution shape as ``acd_psi`` — one
+    ``applyInPandas`` kernel per key, rows sorted inside the kernel
+    (mergesort, the engine's ordering convention); at giant-key scale
+    the affine-segment escape hatch applies identically (the Holt
+    update is affine in (ℓ, b), composable exactly like
+    ``ewma_affine_segments``)."""
+    if not (0.0 < alpha <= 1.0) or not (0.0 <= beta <= 1.0):
+        raise ValueError(f"need 0<alpha<=1, 0<=beta<=1, got {alpha}, {beta}")
+    key_fields = [df.schema[k] for k in keys]
+    out_schema = T.StructType(
+        [
+            *key_fields,
+            df.schema[order_col],
+            T.StructField(value_col, T.DoubleType()),
+            T.StructField("level", T.DoubleType()),
+            T.StructField("trend", T.DoubleType()),
+            T.StructField("forecast", T.DoubleType()),
+        ]
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col, kind="mergesort")
+        x = pdf[value_col].to_numpy(dtype=np.float64)
+        lvl, trd, fc = holt_linear_np(x, alpha, beta)
+        out = pdf[[*keys, order_col]].copy()
+        out[value_col] = x
+        out["level"] = lvl
+        out["trend"] = trd
+        out["forecast"] = fc
+        return out
+
+    return (
+        df.select(*keys, order_col, value_col)
+        .groupBy(*keys)
+        .applyInPandas(kernel, out_schema)
+    )

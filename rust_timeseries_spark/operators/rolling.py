@@ -267,3 +267,48 @@ def cusum_changepoint(
             "cusum_stat"
         ),
     )
+
+
+def trend_ols(
+    df: DataFrame,
+    value_col: str = "tok_sum",
+    keys: list[str] | None = None,
+    order_col: str = "bucket_ts",
+) -> DataFrame:
+    """Per-key OLS linear trend over a bucket series, in the CENTERED
+    formulation (β̂ = Σ(t−t̄)(v−v̄) / Σ(t−t̄)², α̂ = v̄ − β̂t̄,
+    R² = β̂²·Σ(t−t̄)²/Σ(v−v̄)²): centering first keeps every summand at
+    O(variance) magnitude, so there is no nΣtv−ΣtΣv catastrophic
+    cancellation and the result is stable to summation order at far
+    better than the %.5e compare. Returns one row per key: n, slope
+    (per second of ``order_col``), intercept, r2.
+
+    Plan: one tiny broadcast means join + one two-phase hash aggregate
+    — no window, no sort."""
+    keys = keys if keys is not None else ["key"]
+    t = F.col(order_col).cast("double")
+    v = F.col(value_col).cast("double")
+    means = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("_n"), F.avg(t).alias("_tbar"), F.avg(v).alias("_vbar")
+    )
+    j = df.join(F.broadcast(means), keys)
+    dt = t - F.col("_tbar")
+    dv = v - F.col("_vbar")
+    agg = j.groupBy(*keys).agg(
+        F.first("_n").cast("long").alias("n"),
+        F.first("_tbar").alias("_tb"),
+        F.first("_vbar").alias("_vb"),
+        F.sum(dt * dv).alias("_stv"),
+        F.sum(dt * dt).alias("_stt"),
+        F.sum(dv * dv).alias("_svv"),
+    )
+    slope = F.col("_stv") / F.col("_stt")
+    return agg.select(
+        *keys,
+        "n",
+        slope.alias("slope"),
+        (F.col("_vb") - slope * F.col("_tb")).alias("intercept"),
+        F.when(
+            F.col("_svv") > 0, (slope * slope) * F.col("_stt") / F.col("_svv")
+        ).otherwise(F.lit(None)).alias("r2"),
+    )

@@ -66,3 +66,29 @@ def test_event_transitions_tie_break_and_shares(spark):
     assert got[("a", "b")]["n"] == 1 and got[("a", "c")]["n"] == 1
     assert got[("b", "c")]["n"] == 1
     assert abs(got[("a", "b")]["share"] - 0.5) < 1e-12
+
+
+def test_ab_test_zstat_closed_form(spark):
+    # 4 users -> arms by stable hash; verify against the closed form
+    import math
+    from rust_timeseries_spark.operators.sampling import stable_hash32
+    from pyspark.sql import functions as F
+
+    rows = [(u, int(c)) for u, c in [(1, 1), (2, 0), (3, 1), (4, 1), (5, 0), (6, 1)]]
+    uc = spark.createDataFrame(rows, ["user_id", "conv"])
+    out = journeys.ab_test_zstat(uc, n_variants=2).collect()[0]
+    arms = {r["variant"]: r for r in uc.select(
+        F.pmod(stable_hash32("user_id"), F.lit(2)).alias("variant"), "conv"
+    ).groupBy("variant").agg(F.count("*").alias("n"), F.sum("conv").alias("c")).collect()}
+    na, ca = arms[0]["n"], arms[0]["c"]
+    nb, cb = arms[1]["n"], arms[1]["c"]
+    assert (out["n_a"], out["conv_a"], out["n_b"], out["conv_b"]) == (na, ca, nb, cb)
+    pool = (ca + cb) / (na + nb)
+    want = (ca / na - cb / nb) / math.sqrt(pool * (1 - pool) * (1 / na + 1 / nb))
+    assert abs(out["z_stat"] - want) < 1e-15
+
+
+def test_ab_test_degenerate_pool_gives_null(spark):
+    uc = spark.createDataFrame([(u, 1) for u in range(1, 9)], ["user_id", "conv"])
+    out = journeys.ab_test_zstat(uc, n_variants=2).collect()[0]
+    assert out["z_stat"] is None  # everyone converted -> se = 0

@@ -155,3 +155,48 @@ def test_native_psi11_bit_identical_to_python_loop():
             R._native = saved
         ct = native.psi11(x, om, a0, b0, mu, mu, *DEFAULT_PSI_GUARDS)
         np.testing.assert_array_equal(py.view(np.uint64), ct.view(np.uint64))
+
+
+def test_holt_linear_matches_reference_loop(spark):
+    import numpy as np
+    from rust_timeseries_spark.operators import recursion as rec
+
+    rng = np.random.default_rng(5)
+    x = rng.uniform(10, 100, size=50)
+    lvl, trd, fc = rec.holt_linear_np(x, 0.3, 0.2)
+    # independent re-derivation
+    l, b = x[0], x[1] - x[0]
+    for t in range(1, len(x)):
+        prev = l + b
+        assert fc[t] == prev
+        l_new = 0.3 * x[t] + 0.7 * prev
+        b = 0.2 * (l_new - l) + 0.8 * b
+        l = l_new
+        assert lvl[t] == l and trd[t] == b
+    assert np.isnan(fc[0]) and lvl[0] == x[0] and trd[0] == x[1] - x[0]
+    # spark kernel == numpy kernel, bit-exact, partition-independent
+    df = spark.createDataFrame(
+        [("k", i, float(v)) for i, v in enumerate(x)], ["key", "t", "v"]
+    ).repartition(7)
+    rows = rec.holt_linear(df, ["key"], alpha=0.3, beta=0.2).orderBy("t").collect()
+    got_l = np.array([r["level"] for r in rows])
+    got_f = np.array([r["forecast"] for r in rows[1:]])
+    assert (got_l == lvl).all() and (got_f == fc[1:]).all()
+
+
+def test_holt_linear_on_pure_trend_forecast_is_exact(spark):
+    import numpy as np
+    from rust_timeseries_spark.operators import recursion as rec
+
+    x = np.arange(1.0, 31.0)  # perfect linear trend: forecast == x
+    lvl, trd, fc = rec.holt_linear_np(x, 0.3, 0.2)
+    np.testing.assert_allclose(fc[1:], x[1:], rtol=1e-12)
+    np.testing.assert_allclose(trd, np.ones_like(x), rtol=1e-12)
+
+
+def test_holt_validation():
+    import pytest as _pytest
+    from rust_timeseries_spark.operators import recursion as rec
+
+    with _pytest.raises(ValueError, match="alpha"):
+        rec.holt_linear(None, ["k"], alpha=0.0)

@@ -93,3 +93,30 @@ def test_cusum_tie_breaks_earliest(spark):
     out = rolling.cusum_changepoint(df, value_col="tok_sum", keys=["key"],
                                     order_col="bucket_ts").collect()[0]
     assert out["cp_pos"] == 1  # S = 1,0,1,0,1,0 -> first |S|=1 at pos 1
+
+
+def test_trend_ols_matches_numpy_polyfit(spark):
+    rng = np.random.default_rng(11)
+    t = np.arange(60, dtype=np.float64) * 3600.0
+    v = 3.5 + 0.002 * t + rng.normal(scale=5.0, size=60)
+    df = spark.createDataFrame(
+        [("k", float(tt), float(vv)) for tt, vv in zip(t, v)],
+        ["key", "bucket_ts", "tok_sum"],
+    )
+    out = rolling.trend_ols(df, value_col="tok_sum", keys=["key"],
+                            order_col="bucket_ts").collect()[0]
+    slope, intercept = np.polyfit(t, v, 1)
+    assert out["n"] == 60
+    assert abs(out["slope"] - slope) < 1e-12
+    assert abs(out["intercept"] - intercept) < 1e-8
+    r = np.corrcoef(t, v)[0, 1]
+    assert abs(out["r2"] - r * r) < 1e-12
+
+
+def test_trend_ols_constant_series_r2_null(spark):
+    df = spark.createDataFrame(
+        [("k", float(i), 7.0) for i in range(10)], ["key", "bucket_ts", "tok_sum"]
+    )
+    out = rolling.trend_ols(df, value_col="tok_sum", keys=["key"],
+                            order_col="bucket_ts").collect()[0]
+    assert abs(out["slope"]) < 1e-15 and out["r2"] is None

@@ -422,6 +422,34 @@ def main() -> None:
     checks.append(("transitions: window + two-phase agg, no joins",
                    "Join" not in plan and plan.count("HashAggregate") >= 2, plan))
 
+    # 38. OLS trend: broadcast means join + ONE two-phase aggregate —
+    # no window, no sort, no extra scan of the tier
+    plan = explain_str(rolling.trend_ols(
+        t1h, value_col="tok_sum", keys=["event_type"], order_col="bucket_ts"))
+    checks.append(("trend ols: broadcast means + one aggregate, no Sort",
+                   "BroadcastHashJoin" in plan
+                   and len(re.findall(r"^\(\d+\) Sort", plan, re.M)) == 0, plan))
+
+    # 39. A/B z-test: the only non-equi join is over the CONSTANT-size
+    # variant table (k rows, broadcast); the user aggregate two-phases
+    uc = ev.selectExpr("user_id", "cast(event_id % 2 as int) as conv")
+    plan = explain_str(journeys.ab_test_zstat(uc, n_variants=3))
+    checks.append(("ab test: two-phase user agg, constant-size broadcast pair join",
+                   plan.count("HashAggregate") >= 2
+                   and "BroadcastExchange" in plan
+                   and "CartesianProduct" not in plan, plan))
+
+    # 40. Holt smoothing: one hash Exchange into the per-key kernel
+    # (the same applyInPandas shape as acd_psi/ewma)
+    from rust_timeseries_spark.operators import recursion as recursion_ops
+
+    series = t1h.selectExpr("event_type as key", "bucket_ts as t",
+                            "cast(tok_sum as double) as v")
+    plan = explain_str(recursion_ops.holt_linear(series, ["key"]))
+    checks.append(("holt: one Exchange into FlatMapGroupsInPandas",
+                   "FlatMapGroupsInPandas" in plan
+                   and len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) <= 2, plan))
+
     failures = 0
     for name, ok, plan in checks:
         print(f"[{'ok' if ok else 'FAIL'}] {name}")

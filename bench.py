@@ -135,6 +135,9 @@ def main() -> None:
         "trend_ols_1h",
         "ab_test_zstat",
         "holt_linear_1h",
+        "heavy_hitters",
+        "referential_audit",
+        "period_over_period_1d",
         # cheap scan gates, benched so the perf surface stays congruent
         # with the correctness surface (r4 verdict item 8)
         "acd_forecast_1h",

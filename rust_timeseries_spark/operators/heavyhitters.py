@@ -1,0 +1,101 @@
+"""Exact distributed heavy hitters: Misra–Gries candidate generation +
+exact recount.
+
+``vocab_topk`` (two-phase hash count) is exact but its shuffle carries
+every distinct key — at 10⁹+ distinct tokens that intermediate is the
+bottleneck. The classic scale path is:
+
+1. **Candidates** — one Misra–Gries summary (k counters) per input
+   partition (``mapInPandas``, no shuffle). Pigeonhole guarantee: if
+   an item's GLOBAL frequency exceeds N/(k+1) then on at least one
+   partition its local frequency exceeds Nᵢ/(k+1), so it survives that
+   partition's summary — the candidate union is a SUPERSET of every
+   (N/(k+1))-heavy item. Candidate count ≤ k · partitions, independent
+   of the distinct-key cardinality.
+2. **Exact recount** — broadcast the candidate set, semi-join the
+   corpus against it (scan-speed filter), exact two-phase count of the
+   bounded candidate set only, take top-n.
+
+The result is EXACT for every item above the N/(k+1) threshold; the
+``guaranteed`` flag reports whether the returned n-th count clears that
+threshold (if it does, the top-n list provably equals the true top-n).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def misra_gries(values: "pd.Series", k: int) -> dict:
+    """Reference Misra–Gries: at most ``k`` counters; every item with
+    frequency > len(values)/(k+1) is guaranteed to remain."""
+    counters: dict = {}
+    for v in values:
+        if v in counters:
+            counters[v] += 1
+        elif len(counters) < k:
+            counters[v] = 1
+        else:
+            for key in list(counters):
+                counters[key] -= 1
+                if counters[key] == 0:
+                    del counters[key]
+    return counters
+
+
+def heavy_hitters_exact(
+    df: DataFrame,
+    col: str,
+    top_n: int = 10,
+    k_counters: int = 256,
+) -> DataFrame:
+    """Exact top-``top_n`` of ``col`` by the MG-candidates + recount
+    plan above. Returns (value, n, guaranteed) — ``n`` is the EXACT
+    count; ``guaranteed`` is true when count(n-th) > N/(k+1), i.e. the
+    list provably equals the true top-n. Ties broken by value ASC.
+
+    Plan: one candidate scan (mapInPandas, zero shuffle) → bounded
+    collect (≤ k·partitions values) → broadcast-semi-join recount
+    (two-phase agg over candidates only) → TakeOrderedAndProject."""
+    if top_n < 1 or k_counters < top_n:
+        raise ValueError(f"need k_counters >= top_n >= 1, got {k_counters}, {top_n}")
+    src = df.select(F.col(col).alias("v"))
+
+    def _summaries(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict = {}
+        total = 0
+        for pdf in it:
+            s = pdf["v"]
+            total += len(s)
+            # fold this batch into the partition's running summary
+            for v, c in misra_gries(s, k_counters).items():
+                counters[v] = counters.get(v, 0) + c
+            # re-compress if the union grew past k
+            if len(counters) > k_counters:
+                items = sorted(counters.items(), key=lambda kv: (-kv[1], kv[0]))
+                cut = items[k_counters][1]  # (k+1)-th count: subtract it
+                counters = {v: c - cut for v, c in items if c > cut}
+        yield pd.DataFrame({"v": list(counters.keys()), "n_part": [total] * len(counters)})
+
+    cands = src.mapInPandas(_summaries, "v string, n_part long")
+    cand_rows = cands.select("v").distinct().collect()  # bounded: <= k * partitions
+    cand_vals = [r["v"] for r in cand_rows]
+    total_n = src.count()
+    counts = (
+        src.where(F.col("v").isin(cand_vals))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("v"))
+        .limit(top_n)
+    )
+    thresh = total_n / (k_counters + 1)
+    # the global-window min runs AFTER the limit: <= top_n rows
+    return counts.select(
+        F.col("v").alias("value"),
+        "n",
+        (F.min("n").over(Window.partitionBy()) > F.lit(thresh)).alias("guaranteed"),
+    )

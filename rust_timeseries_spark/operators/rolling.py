@@ -312,3 +312,27 @@ def trend_ols(
             F.col("_svv") > 0, (slope * slope) * F.col("_stt") / F.col("_svv")
         ).otherwise(F.lit(None)).alias("r2"),
     )
+
+
+def period_over_period(
+    df: DataFrame,
+    value_col: str = "tok_sum",
+    keys: list[str] | None = None,
+    order_col: str = "bucket_ts",
+) -> DataFrame:
+    """Period-over-period change per key: previous bucket's value via
+    one lag window, absolute delta and fractional change (null when the
+    base is 0 or there is no prior bucket). One window sort per key —
+    the standard day-over-day dashboard derivation."""
+    keys = keys if keys is not None else ["source"]
+    w = Window.partitionBy(*keys).orderBy(order_col)
+    v = F.col(value_col).cast("double")
+    prev = F.lag(v).over(w)
+    return (
+        df.withColumn("prev_value", prev)
+        .withColumn("delta", v - prev)
+        .withColumn(
+            "pct_change",
+            F.when(prev != 0, (v - prev) / prev),
+        )
+    )

@@ -1175,3 +1175,68 @@ def test_weighted_sample_small_groups_and_validation(spark):
     assert out.count() == 3  # n > group size returns the whole group
     with pytest.raises(ValueError, match="n must be"):
         sampling.weighted_sample_n(df, n=0, weight_col="w")
+
+
+def test_misra_gries_guarantee_and_bound():
+    import pandas as pd
+    from rust_timeseries_spark.operators import heavyhitters as hh
+
+    rng = np.random.default_rng(3)
+    noise = [f"x{int(i)}" for i in rng.integers(0, 100000, size=20000)]
+    data = pd.Series(noise + ["HEAVY"] * 3000)  # freq 3000 > 23000/(64+1)
+    counters = hh.misra_gries(data, 64)
+    assert len(counters) <= 64
+    assert "HEAVY" in counters
+    # undercount bound: true_count - counter <= N/(k+1)
+    assert 3000 - counters["HEAVY"] <= len(data) / 65
+
+
+def test_heavy_hitters_exact_matches_groupby(spark):
+    import pyspark.sql.functions as F
+    from rust_timeseries_spark.operators import heavyhitters as hh
+
+    rng = np.random.default_rng(9)
+    vals = [f"n{int(i)}" for i in rng.integers(0, 5000, size=30000)]
+    vals += ["A"] * 2000 + ["B"] * 1500 + ["C"] * 1200
+    df = spark.createDataFrame([(v,) for v in vals], ["w"]).repartition(8)
+    got = hh.heavy_hitters_exact(df, "w", top_n=3, k_counters=64).collect()
+    exact = (
+        df.groupBy("w").count().orderBy(F.desc("count"), F.asc("w")).limit(3).collect()
+    )
+    assert [(r["value"], r["n"]) for r in got] == [(r["w"], r["count"]) for r in exact]
+    assert all(r["guaranteed"] for r in got)  # 1200 > 34700/65
+
+
+def test_heavy_hitters_validation():
+    from rust_timeseries_spark.operators import heavyhitters as hh
+
+    with pytest.raises(ValueError, match="k_counters"):
+        hh.heavy_hitters_exact(None, "w", top_n=10, k_counters=5)
+
+
+def test_referential_audit_orphans_and_nulls(spark):
+    from rust_timeseries_spark.operators import audit
+
+    child = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 99), (4, None)], ["id", "fk"]
+    )
+    parent = spark.createDataFrame([(10,), (20,)], ["pk"])
+    out = {r["check"]: r for r in audit.referential_audit(
+        [("c_vs_p", child, parent, "fk", "pk")]).collect()}
+    # fk=99 (missing) and fk=NULL both count as orphans
+    assert out["c_vs_p"]["n_orphans"] == 2
+    assert out["c_vs_p"]["sample_key"] == "99"
+
+
+def test_period_over_period_closed_form(spark):
+    from rust_timeseries_spark.operators import rolling as rolling_ops
+
+    df = spark.createDataFrame(
+        [("k", 0, 100.0), ("k", 1, 150.0), ("k", 2, 75.0)],
+        ["source", "bucket_ts", "tok_sum"],
+    )
+    rows = {r["bucket_ts"]: r for r in rolling_ops.period_over_period(
+        df, "tok_sum", ["source"], "bucket_ts").collect()}
+    assert rows[0]["prev_value"] is None and rows[0]["pct_change"] is None
+    assert rows[1]["delta"] == 50.0 and rows[1]["pct_change"] == 0.5
+    assert rows[2]["delta"] == -75.0 and rows[2]["pct_change"] == -0.5

@@ -450,6 +450,38 @@ def main() -> None:
                    "FlatMapGroupsInPandas" in plan
                    and len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) <= 2, plan))
 
+    # 41. heavy hitters recount: candidate filter + two-phase count +
+    # TakeOrderedAndProject (the candidate scan itself is a shuffle-free
+    # mapInPandas, asserted by construction — this checks the recount)
+    from rust_timeseries_spark.operators import heavyhitters as hh_ops
+
+    words = docs_ep.selectExpr("explode(split(text, ' ')) as w")
+    plan = explain_str(hh_ops.heavy_hitters_exact(words, "w", top_n=5, k_counters=64))
+    checks.append(("heavy hitters: isin filter + two-phase count + top-n",
+                   plan.count("HashAggregate") >= 2
+                   and "TakeOrderedAndProject" in plan
+                   and "CartesianProduct" not in plan, plan))
+
+    # 42. referential audit: every check is a LEFT ANTI equi-join;
+    # counting happens after it (shuffle carries only violations)
+    from rust_timeseries_spark.operators import audit as audit_ops
+
+    ords = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    plan = explain_str(audit_ops.referential_audit(
+        [("o_vs_c", ords, cust, "o_custkey", "c_custkey")]))
+    checks.append(("referential audit: LeftAnti equi-join, no BNL/cartesian",
+                   "LeftAnti" in plan
+                   and "BroadcastNestedLoopJoin" not in plan
+                   and "CartesianProduct" not in plan, plan))
+
+    # 43. period-over-period: ONE window Exchange, no joins
+    plan = explain_str(rolling.period_over_period(
+        t1h, "tok_sum", ["event_type"], "bucket_ts"))
+    checks.append(("period-over-period: single Exchange + Window, no joins",
+                   len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) <= 2
+                   and "Join" not in plan, plan))
+
     failures = 0
     for name, ok, plan in checks:
         print(f"[{'ok' if ok else 'FAIL'}] {name}")

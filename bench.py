@@ -138,6 +138,7 @@ def main() -> None:
         "heavy_hitters",
         "referential_audit",
         "period_over_period_1d",
+        "regional_revenue",
         # cheap scan gates, benched so the perf surface stays congruent
         # with the correctness surface (r4 verdict item 8)
         "acd_forecast_1h",

@@ -249,3 +249,35 @@ def test_iceberg_ddl_statements_parse(spark):
     ]
     for s in stmts:
         parser.parsePlan(s)  # raises ParseException on bad syntax
+
+
+def test_write_clustered_layout(spark, tmp_path):
+    """Files are per-partition-directory, row counts respect the cap,
+    and within each directory the per-file ts ranges are tight and
+    non-overlapping (the parquet min/max pruning contract)."""
+    import glob
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+    from rust_timeseries_spark.plans import layout
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "event_type", "ts", "value"
+    )
+    out = str(tmp_path / "clustered")
+    layout.write_clustered(
+        ev, out, partition_by=["event_type"], cluster_by=["ts"],
+        max_records_per_file=50,
+    )
+    back = spark.read.parquet(out)
+    assert back.count() == ev.count()
+    for d in glob.glob(f"{out}/event_type=*"):
+        ranges = []
+        for f in sorted(glob.glob(f"{d}/*.parquet")):
+            t = pq.read_table(f, columns=["ts"])
+            assert t.num_rows <= 50
+            col = t.column("ts").to_pylist()
+            ranges.append((min(col), max(col)))
+        # non-overlapping when sorted by start (each file a tight range)
+        ranges.sort()
+        for (a_lo, a_hi), (b_lo, b_hi) in zip(ranges, ranges[1:]):
+            assert a_hi <= b_lo, (a_hi, b_lo)

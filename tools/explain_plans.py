@@ -482,6 +482,32 @@ def main() -> None:
                    len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) <= 2
                    and "Join" not in plan, plan))
 
+    # 44. clustered layout write: hash Exchange on the partition key +
+    # LOCAL sort — never a range shuffle / global Sort
+    plan = explain_str(
+        ev.select("event_type", "ts", "value")
+        .repartition("event_type")
+        .sortWithinPartitions("event_type", "ts")
+    )
+    checks.append(("clustered write shape: hash Exchange + local Sort, no range",
+                   "rangepartitioning" not in plan.lower()
+                   and "hashpartitioning" in plan.lower()
+                   and len(re.findall(r"^\(\d+\) Sort", plan, re.M)) == 1, plan))
+
+    # 45. Q5-shaped star join: tiny dims broadcast, no cartesian/BNL,
+    # the orders date filter pushed into its scan
+    import importlib.util as _ilu
+
+    _spec = _ilu.spec_from_file_location("entry_for_plans", "/root/repo/__spark_entry__.py")
+    _entry = _ilu.module_from_spec(_spec)
+    _spec.loader.exec_module(_entry)
+    plan = explain_str(_entry.queries()["regional_revenue"](spark, sf_dir))
+    checks.append(("q5 star join: broadcast dims, no cartesian, pushed date filter",
+                   "BroadcastHashJoin" in plan
+                   and "CartesianProduct" not in plan
+                   and "BroadcastNestedLoopJoin" not in plan
+                   and "PushedFilters" in plan, plan))
+
     failures = 0
     for name, ok, plan in checks:
         print(f"[{'ok' if ok else 'FAIL'}] {name}")

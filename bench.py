@@ -139,6 +139,7 @@ def main() -> None:
         "referential_audit",
         "period_over_period_1d",
         "regional_revenue",
+        "streaming_sessions",
         # cheap scan gates, benched so the perf surface stays congruent
         # with the correctness surface (r4 verdict item 8)
         "acd_forecast_1h",

@@ -108,3 +108,67 @@ def run_incremental(
 
 def tier_names() -> list[str]:
     return sorted(TIERS)
+
+
+def stream_session_rollup(
+    spark: SparkSession,
+    input_path: str,
+    schema,
+    gap: str = "5 minutes",
+    keys: list[str] | None = None,
+    ts_col: str = "ts",
+    value_col: str = "n_tok",
+    watermark: str = "0 seconds",
+    glob: str | None = None,
+    reader_options: dict[str, str] | None = None,
+) -> DataFrame:
+    """Streaming SESSION-window rollup (``F.session_window`` under a
+    watermark — SURVEY §2.9's merging-window stateful aggregate).
+    Sessions are emitted in APPEND mode only once the watermark passes
+    ``session_end`` (complete mode is unsupported for merging windows);
+    a session is therefore finalized by a LATER batch whose data
+    advances the watermark past it. Drivers replaying a static backlog
+    must append watermark-advancing sentinel batches to flush the tail
+    — see the ``streaming_sessions`` driver gate for the 2-sentinel
+    recipe (sentinels' own sessions stay open and are never emitted, so
+    no filtering is needed).
+
+    Same NTZ→epoch→LTZ timestamp bridge as ``stream_rollup``; the
+    aggregate set matches ``operators/rollup.py:session_rollup`` so
+    stream ≡ batch is checkable against the identical oracle."""
+    keys = keys if keys is not None else ["source"]
+    reader = spark.readStream.schema(schema)
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    for k, v in (reader_options or {}).items():
+        reader = reader.option(k, v)
+    stream = reader.parquet(input_path)
+    if dict(stream.dtypes).get(ts_col) == "timestamp_ntz":
+        # MICROSECOND-exact NTZ→LTZ bridge (timestamp_micros of the
+        # decimal-seconds interval) — the tumbling bridge's floor-to-
+        # seconds would corrupt gap decisions: session merging is
+        # sub-second-sensitive (two events 4m59.8s apart floor to a
+        # 5m00s difference and would wrongly SPLIT under a 5m gap).
+        # timestamp_micros builds the LTZ instant from a long —
+        # session-TZ-independent, unlike a direct NTZ→LTZ cast.
+        us = (
+            F.expr(
+                f"cast((cast({ts_col} as timestamp_ntz)"
+                " - timestamp_ntz'1970-01-01 00:00:00') as decimal(20,6))"
+            )
+            * F.lit(1000000)
+        ).cast("long")
+        stream = stream.withColumn(ts_col, F.timestamp_micros(us))
+    v = F.col(value_col)
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(*keys, F.session_window(ts_col, gap).alias("win"))
+        .agg(F.sum(v).alias("tok_sum"), F.count(v).alias("tok_count"))
+        .select(
+            *keys,
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "tok_sum",
+            "tok_count",
+        )
+    )

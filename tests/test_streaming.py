@@ -233,3 +233,71 @@ def test_dedup_stream_watermark_eviction(spark, tmp_path):
     # in-state duplicate (batch2) and the late same-time duplicate
     # (batch3) are both dropped
     assert emitted == [(1, base_t), (1, base_t + 95), (2, base_t + 100)], emitted
+
+
+def test_stream_session_rollup_matches_batch(spark, tmp_path):
+    """Streaming session windows ≡ batch session_rollup, including the
+    sub-second gap boundary (299.9s apart merges under a 5-minute gap,
+    300.000001s splits) — the microsecond NTZ→LTZ bridge under test."""
+    import datetime
+    import os
+
+    base = datetime.datetime(2024, 1, 1)
+
+    def ts(sec):
+        return base + datetime.timedelta(seconds=sec)
+
+    rows = [
+        # k1: merge at 299.9s, exact-300s boundary also merges (batch
+        # semantics: split only when diff > gap), split at 300.000001
+        ("k1", ts(0.0), 1.0),
+        ("k1", ts(299.9), 1.0),
+        ("k1", ts(599.9), 1.0),          # 300.0 after previous: merges
+        ("k1", ts(900.000001), 1.0),     # 300.000001 after: NEW session
+        ("k2", ts(50.5), 2.0),
+    ]
+    df = spark.createDataFrame(rows, ["source", "ts", "n_tok"])
+    in_dir = str(tmp_path / "sess_in")
+    os.makedirs(in_dir)
+    df.coalesce(1).write.mode("append").parquet(in_dir)
+    # two watermark-advancing sentinels, one file each, later mtimes
+    for i, off in enumerate((86400, 2 * 86400), start=1):
+        s = df.groupBy("source").agg(F.max("ts").alias("ts")).select(
+            "source", (F.col("ts") + F.expr(f"INTERVAL {off} SECOND")).alias("ts"),
+            F.lit(0.0).alias("n_tok"),
+        )
+        sub = str(tmp_path / f"w{i}")
+        s.coalesce(1).write.mode("overwrite").parquet(sub)
+        part = [f for f in os.listdir(sub) if f.endswith(".parquet")][0]
+        dst = f"{in_dir}/zz{i}.parquet"
+        os.rename(f"{sub}/{part}", dst)
+        os.utime(dst, (time.time() + 10 * i,) * 2)
+
+    agg = rollup_stream.stream_session_rollup(
+        spark, in_dir, df.schema, gap="5 minutes",
+        keys=["source"], ts_col="ts", value_col="n_tok",
+        reader_options={"maxFilesPerTrigger": "1"},
+    )
+    q = (
+        agg.writeStream.outputMode("append").format("memory")
+        .queryName("sess_test")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    assert q.awaitTermination(300)
+    got = spark.table("sess_test")
+    max_ts = df.agg(F.max("ts")).collect()[0][0]
+    got = {
+        (r["source"], r["session_start"], r["session_end"], r["tok_sum"], r["tok_count"])
+        for r in got.collect() if r["session_start"] <= max_ts
+    }
+    batch = rollup.session_rollup(df, gap="5 minutes", keys=["source"],
+                                  ts_col="ts", value_col="n_tok")
+    want = {
+        (r["source"], r["session_start"], r["session_end"], r["tok_sum"], r["tok_count"])
+        for r in batch.collect()
+    }
+    spark.catalog.dropTempView("sess_test")
+    assert got == want
+    # the boundary behavior itself: k1 has exactly 2 sessions
+    assert sum(1 for r in want if r[0] == "k1") == 2

@@ -140,6 +140,8 @@ def main() -> None:
         "period_over_period_1d",
         "regional_revenue",
         "streaming_sessions",
+        "csv_roundtrip",
+        "sliding_distinct_3h_1h",
         # cheap scan gates, benched so the perf surface stays congruent
         # with the correctness surface (r4 verdict item 8)
         "acd_forecast_1h",

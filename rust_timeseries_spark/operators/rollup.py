@@ -592,3 +592,27 @@ def pivot_report(
             ).cast("decimal(38,2)").alias(f"{val}_sum")
         )
     return df.select(b, pc, F.col(value_col)).groupBy("bucket_ts").agg(*aggs)
+
+
+def sliding_distinct(
+    df: DataFrame,
+    id_col: str = "user_id",
+    window_len: str = "3 hours",
+    slide: str = "1 hour",
+    keys: list[str] | None = None,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Exact distinct-entity counts over SLIDING windows (the trailing
+    active-users metric): each row expands into len/slide windows
+    JVM-side, then one distinct-count hash aggregate per
+    (keys, window). For approximate mergeable variants see
+    ``sketch_distinct_rollup`` — distinct does NOT fold across
+    overlapping windows, so the exact version must re-aggregate raw
+    rows (this operator), while the sketch version unions per-tier HLL
+    state."""
+    keys = keys if keys is not None else ["source"]
+    return (
+        df.groupBy(*keys, F.window(ts_col, window_len, slide).alias("win"))
+        .agg(F.countDistinct(id_col).alias("n_distinct"))
+        .select(*keys, F.col("win.start").alias("win_start"), "n_distinct")
+    )

@@ -1240,3 +1240,83 @@ def test_period_over_period_closed_form(spark):
     assert rows[0]["prev_value"] is None and rows[0]["pct_change"] is None
     assert rows[1]["delta"] == 50.0 and rows[1]["pct_change"] == 0.5
     assert rows[2]["delta"] == -75.0 and rows[2]["pct_change"] == -0.5
+
+
+def test_csv_roundtrip_hostile_and_multiline(spark, tmp_path):
+    from rust_timeseries_spark.sources import csvsrc
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("txt", T.StringType()),
+    ])
+    rows = [(1, 'plain'), (2, 'has,comma'), (3, 'has"quote'), (4, 'back\\slash'),
+            (5, 'tab\there')]
+    df = spark.createDataFrame(rows, schema)
+    p = str(tmp_path / "csv1")
+    csvsrc.write_csv(df, p)
+    back = csvsrc.read_csv(spark, p, schema)
+    collected = back.collect()  # one pass: data cols + corrupt col
+    got = {r["id"]: r["txt"] for r in collected}
+    assert got == dict(rows)
+    # (querying ONLY _corrupt_record is disallowed by Spark — always
+    # project it alongside data columns)
+    assert all(r["_corrupt_record"] is None for r in collected)
+    # the multiLine escape hatch: embedded newline survives
+    df2 = spark.createDataFrame([(9, 'line1\nline2')], schema)
+    p2 = str(tmp_path / "csv2")
+    csvsrc.write_csv(df2, p2)
+    back2 = csvsrc.read_csv(spark, p2, schema, multiline=True)
+    assert back2.collect()[0]["txt"] == 'line1\nline2'
+
+
+def test_csv_corrupt_capture(spark, tmp_path):
+    import os
+    from rust_timeseries_spark.sources import csvsrc
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("n", T.LongType()),
+    ])
+    d = str(tmp_path / "bad")
+    os.makedirs(d)
+    with open(f"{d}/part.csv", "w") as f:
+        f.write("id,n\n1,10\nnot_a_number,alpha\n3,30\n")
+    back = csvsrc.read_csv(spark, d, schema)
+    rows = back.collect()
+    bad = [r for r in rows if r["_corrupt_record"] is not None]
+    assert len(bad) == 1 and bad[0]["_corrupt_record"] == "not_a_number,alpha"
+    assert {r["id"] for r in rows if r["_corrupt_record"] is None} == {1, 3}
+
+
+def test_sliding_distinct_counts(spark):
+    import datetime
+    from rust_timeseries_spark.operators import rollup as rollup_ops
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        ("a", base + datetime.timedelta(minutes=10), 1),
+        ("a", base + datetime.timedelta(minutes=20), 1),   # same user
+        ("a", base + datetime.timedelta(minutes=30), 2),
+        ("a", base + datetime.timedelta(hours=5), 3),
+    ]
+    df = spark.createDataFrame(rows, ["source", "ts", "user_id"])
+    out = {(r["source"], r["win_start"]): r["n_distinct"]
+           for r in rollup_ops.sliding_distinct(
+               df, id_col="user_id", window_len="3 hours", slide="1 hour",
+               keys=["source"], ts_col="ts").collect()}
+    h = 3600
+
+    def ws(sec):
+        import datetime as _dt
+        return base + _dt.timedelta(seconds=sec)
+
+    # the first three events live in hour-0; windows starting at -2h,
+    # -1h, 0h all contain them -> 2 distinct users each
+    assert out[("a", ws(-2 * h))] == 2
+    assert out[("a", ws(0))] == 2
+    # the hour-5 event: windows starting 3h,4h,5h contain only user 3
+    assert out[("a", ws(5 * h))] == 1
+    # no window mixes them (gap > window length)
+    assert ("a", ws(2 * h)) not in out

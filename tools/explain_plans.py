@@ -508,6 +508,14 @@ def main() -> None:
                    and "BroadcastNestedLoopJoin" not in plan
                    and "PushedFilters" in plan, plan))
 
+    # 46. sliding distinct: window expansion is JVM-side Expand/
+    # Generate feeding ONE two-phase distinct aggregate — no join
+    plan = explain_str(rollup.sliding_distinct(
+        ev, id_col="user_id", keys=["event_type"], ts_col="ts"))
+    checks.append(("sliding distinct: expand + two-phase distinct agg, no joins",
+                   plan.count("HashAggregate") >= 2
+                   and "Join" not in plan, plan))
+
     failures = 0
     for name, ok, plan in checks:
         print(f"[{'ok' if ok else 'FAIL'}] {name}")

@@ -58,14 +58,28 @@ def heavy_hitters_exact(
     count; ``guaranteed`` is true when count(n-th) > N/(k+1), i.e. the
     list provably equals the true top-n. Ties broken by value ASC.
 
-    Plan: one candidate scan (mapInPandas, zero shuffle) → bounded
-    collect (≤ k·partitions values) → broadcast-semi-join recount
-    (two-phase agg over candidates only) → TakeOrderedAndProject."""
+    NULL values are excluded from ranking and from N (the guarantee
+    statement covers the non-null population); the value column keeps
+    the input column's type.
+
+    Plan: one candidate scan (mapInPandas, zero shuffle — it also
+    carries per-partition row totals, so N needs no separate pass) →
+    bounded collect (≤ k·partitions values) → broadcast-semi-join
+    recount (two-phase agg over candidates only) →
+    TakeOrderedAndProject. Exactly TWO corpus scans."""
     if top_n < 1 or k_counters < top_n:
         raise ValueError(f"need k_counters >= top_n >= 1, got {k_counters}, {top_n}")
-    src = df.select(F.col(col).alias("v"))
+    # NULLs are EXCLUDED from ranking and from N (review r5s4: isin
+    # never matches null, so an unfiltered null-heavy column returned a
+    # silently short top-n stamped guaranteed=True; dropping them keeps
+    # the guarantee statement true for the non-null value population)
+    vtype = dict(df.dtypes)[col]
+    src = df.select(F.col(col).alias("v")).where(F.col("v").isNotNull())
 
     def _summaries(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import uuid
+
+        pid = uuid.uuid4().hex  # one marker per partition invocation
         counters: dict = {}
         total = 0
         for pdf in it:
@@ -79,12 +93,23 @@ def heavy_hitters_exact(
                 items = sorted(counters.items(), key=lambda kv: (-kv[1], kv[0]))
                 cut = items[k_counters][1]  # (k+1)-th count: subtract it
                 counters = {v: c - cut for v, c in items if c > cut}
-        yield pd.DataFrame({"v": list(counters.keys()), "n_part": [total] * len(counters)})
+        yield pd.DataFrame({
+            "v": pd.Series(list(counters.keys()), dtype=object),
+            "n_part": [total] * len(counters),
+            "pid": [pid] * len(counters),
+        })
 
-    cands = src.mapInPandas(_summaries, "v string, n_part long")
+    # output value column keeps the INPUT type (review r5s4: a
+    # hardcoded string schema crashed on bigint heavy-hitter keys)
+    cands = src.mapInPandas(_summaries, f"v {vtype}, n_part long, pid string").persist()
     cand_rows = cands.select("v").distinct().collect()  # bounded: <= k * partitions
     cand_vals = [r["v"] for r in cand_rows]
-    total_n = src.count()
+    # N from the per-partition totals already emitted — no third scan
+    total_n = (
+        cands.select("pid", "n_part").distinct().agg(F.sum("n_part")).collect()[0][0]
+        or 0
+    )
+    cands.unpersist()
     counts = (
         src.where(F.col("v").isin(cand_vals))
         .groupBy("v")

@@ -91,10 +91,13 @@ def funnel_conversion(
     )
     out = None
     for k, r in enumerate(reached, start=1):
+        # each reached[k] frame is one row per user BY CONSTRUCTION
+        # (its groupBy key is _u), so a plain count suffices — a
+        # countDistinct here planned a needless expand+extra exchange
         agg = (
             bucket(r)
             .groupBy("bucket_ts")
-            .agg(F.countDistinct("_u").alias(f"n_step{k}"))
+            .agg(F.count(F.lit(1)).cast("long").alias(f"n_step{k}"))
         )
         out = agg if out is None else out.join(agg, "bucket_ts", "left")
     last = f"n_step{len(steps)}"

@@ -212,12 +212,13 @@ def cross_correlation(
             )
         ).alias("_p"),
     ).select(*keys, "_n", "_sa", "_sb", F.col("_p.lag").alias("lag"), F.col("_p.g").alias("_g"))
+    n_pairs = (F.first("_n") - F.col("lag")).cast("long")
+    denom = (F.first("_n") - F.col("lag")) * F.first("_sa") * F.first("_sb")
     out = pairs.groupBy(*keys, "lag").agg(
-        (F.first("_n") - F.col("lag")).cast("long").alias("n_pairs"),
-        (
-            F.sum("_g")
-            / ((F.first("_n") - F.col("lag")) * F.first("_sa") * F.first("_sb"))
-        ).alias("ccf"),
+        n_pairs.alias("n_pairs"),
+        # degenerate overlaps (constant series: sa/sb = 0; or lag >= n:
+        # zero pairs) yield NULL instead of an ANSI DIVIDE_BY_ZERO abort
+        F.when(denom > 0, F.sum("_g") / denom).alias("ccf"),
     )
     return out.drop("_ck") if drop_key else out
 
@@ -263,9 +264,12 @@ def cusum_changepoint(
         F.col("_n").cast("long").alias("n"),
         F.col("_pos").cast("long").alias("cp_pos"),
         F.col(order_col).alias(f"cp_{order_col}"),
-        (F.abs(F.col("_s")) / (F.col("_sd") * F.sqrt(F.col("_n").cast("double")))).alias(
-            "cusum_stat"
-        ),
+        # sd = 0 (constant series): no scale, stat is NULL — a flatlined
+        # key must not abort the multi-key scan under ANSI mode
+        F.when(
+            F.col("_sd") > 0,
+            F.abs(F.col("_s")) / (F.col("_sd") * F.sqrt(F.col("_n").cast("double"))),
+        ).alias("cusum_stat"),
     )
 
 
@@ -302,15 +306,18 @@ def trend_ols(
         F.sum(dt * dt).alias("_stt"),
         F.sum(dv * dv).alias("_svv"),
     )
-    slope = F.col("_stv") / F.col("_stt")
+    # stt = 0 (single bucket / all-equal order values): slope undefined
+    # — NULL, never an ANSI DIVIDE_BY_ZERO abort (same policy as r2)
+    slope = F.when(F.col("_stt") > 0, F.col("_stv") / F.col("_stt"))
     return agg.select(
         *keys,
         "n",
         slope.alias("slope"),
         (F.col("_vb") - slope * F.col("_tb")).alias("intercept"),
         F.when(
-            F.col("_svv") > 0, (slope * slope) * F.col("_stt") / F.col("_svv")
-        ).otherwise(F.lit(None)).alias("r2"),
+            (F.col("_svv") > 0) & (F.col("_stt") > 0),
+            (slope * slope) * F.col("_stt") / F.col("_svv"),
+        ).alias("r2"),
     )
 
 

@@ -263,8 +263,15 @@ def weighted_sample_n(
     broken by id."""
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
+    # A-ES is defined for w > 0 only. Rows with w <= 0 (or null) are
+    # INELIGIBLE and filtered out — the w=0 limit of the scheme is
+    # inclusion probability 0, and a negative w would flip the key's
+    # sign and outrank every valid row (review r5s4; under ANSI mode a
+    # zero weight previously aborted the whole job with DIVIDE_BY_ZERO).
+    w = F.col(weight_col).cast("double")
+    df = df.where(w > 0)
     u = (stable_hash32(id_col) + F.lit(0.5)) / F.lit(float(_M32))
-    key = F.log(u) / F.col(weight_col).cast("double")
+    key = F.log(u) / w
     out = df.withColumn("samp_key", key)
     order = [F.desc("samp_key"), F.asc(id_col)]
     if keys:

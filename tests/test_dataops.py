@@ -1320,3 +1320,40 @@ def test_sliding_distinct_counts(spark):
     assert out[("a", ws(5 * h))] == 1
     # no window mixes them (gap > window length)
     assert ("a", ws(2 * h)) not in out
+
+
+def test_heavy_hitters_nulls_and_int_keys(spark):
+    """Review r5s4 regressions: nulls are excluded from ranking AND
+    from N (no silently-short guaranteed top-n), and non-string key
+    columns keep their type."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import types as T
+    from rust_timeseries_spark.operators import heavyhitters as hh
+
+    vals = [None] * 50 + ["hot"] * 30 + [f"x{i}" for i in range(40)]
+    df = spark.createDataFrame([(v,) for v in vals], T.StructType(
+        [T.StructField("w", T.StringType(), True)])).repartition(4)
+    got = hh.heavy_hitters_exact(df, "w", top_n=2, k_counters=16).collect()
+    assert [(r["value"], r["n"]) for r in got][0] == ("hot", 30)
+    # the flag keys on the n-th (min) returned count: the 2nd item is a
+    # singleton (1 < 70/17), so top-2 is NOT certified...
+    assert got[0]["guaranteed"] is False
+    # ...while top-1 is (30 > 70/17, with N = the non-null population)
+    g1 = hh.heavy_hitters_exact(df, "w", top_n=1, k_counters=16).collect()[0]
+    assert g1["guaranteed"] is True and g1["n"] == 30
+    # int column: output value keeps bigint type
+    di = spark.createDataFrame([(i % 3,) for i in range(300)], ["uid"]).repartition(4)
+    gi = hh.heavy_hitters_exact(di, "uid", top_n=3, k_counters=8)
+    assert dict(gi.dtypes)["value"] == "bigint"
+    assert sorted(r["n"] for r in gi.collect()) == [100, 100, 100]
+
+
+def test_weighted_sample_nonpositive_weights_ineligible(spark):
+    from rust_timeseries_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 0.0), (3, -5.0), (4, 2.0)], ["doc_id", "w"]
+    )
+    out = sampling.weighted_sample_n(df, n=10, weight_col="w")
+    ids = {r["doc_id"] for r in out.collect()}
+    assert ids == {1, 4}  # w<=0 rows are ineligible, job does NOT abort

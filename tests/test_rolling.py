@@ -120,3 +120,20 @@ def test_trend_ols_constant_series_r2_null(spark):
     out = rolling.trend_ols(df, value_col="tok_sum", keys=["key"],
                             order_col="bucket_ts").collect()[0]
     assert abs(out["slope"]) < 1e-15 and out["r2"] is None
+
+
+def test_degenerate_series_yield_null_not_abort(spark):
+    """Review r5s4: constant/short series must produce NULL statistics,
+    never an ANSI DIVIDE_BY_ZERO job abort."""
+    const = spark.createDataFrame(
+        [("k", i, 5.0) for i in range(6)], ["key", "bucket_ts", "tok_sum"]
+    )
+    cp = rolling.cusum_changepoint(const, "tok_sum", ["key"], "bucket_ts").collect()[0]
+    assert cp["cusum_stat"] is None and cp["cp_pos"] == 1
+    single = spark.createDataFrame([("k", 7.0, 3.0)], ["key", "bucket_ts", "tok_sum"])
+    tr = rolling.trend_ols(single, "tok_sum", ["key"], "bucket_ts").collect()[0]
+    assert tr["slope"] is None and tr["intercept"] is None and tr["r2"] is None
+    cc = rolling.cross_correlation(const, const, value_col="tok_sum",
+                                   max_lag=2, keys=["key"],
+                                   order_col="bucket_ts").collect()
+    assert all(r["ccf"] is None for r in cc)  # sa = sb = 0

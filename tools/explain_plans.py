@@ -506,7 +506,10 @@ def main() -> None:
                    "BroadcastHashJoin" in plan
                    and "CartesianProduct" not in plan
                    and "BroadcastNestedLoopJoin" not in plan
-                   and "PushedFilters" in plan, plan))
+                   # the CONTENT of the pushed predicate, not the mere
+                   # presence of a PushedFilters line (every scan prints
+                   # one, even empty — review r5s4)
+                   and "GreaterThanOrEqual(o_orderdate" in plan, plan))
 
     # 46. sliding distinct: window expansion is JVM-side Expand/
     # Generate feeding ONE two-phase distinct aggregate — no join

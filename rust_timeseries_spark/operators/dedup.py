@@ -221,6 +221,49 @@ def ngram_jaccard_pairs(
     )
 
 
+#: Bloom-summary width for the candidate-verification prune (bits).
+#: 1024 bits = 16 int64 words: fixed 128 B per document at ANY corpus
+#: size, so the summary join scales like the id join it rides on.
+BLOOM_BITS = 1024
+
+
+def _bloom_word_cols(set_col: str, bits: int = BLOOM_BITS) -> list:
+    """Per-document Bloom bitmap over xxhash64'd set elements, as
+    ``bits // 64`` SEPARATE long columns (named ``_bw{i}``) rather than
+    an array — keeps both the build fold and the per-pair popcount in
+    plain codegen'd expressions (higher-order array functions are
+    CodegenFallback). One hash per element: element e sets bit
+    ``pmod(xxhash64(e), bits)``.
+
+    Guarantee used by the pair prune: every element common to two sets
+    sets the SAME bit in both bitmaps, so
+    ``Σ_w bit_count(a_w & b_w) ≥ |A ∩ B|`` — an upper bound with no
+    false negatives (hash collisions only inflate it)."""
+    n_words = bits // 64
+    bidx = f"transform({set_col}, t -> CAST(pmod(xxhash64(t), {bits}) AS INT))"
+    return [
+        F.expr(
+            f"aggregate(filter({bidx}, bi -> bi DIV 64 = {w}), 0L, "
+            f"(acc, bi) -> acc | shiftleft(1L, bi % 64))"
+        ).alias(f"_bw{w}")
+        for w in range(n_words)
+    ]
+
+
+def _bloom_overlap_ubound(bits: int = BLOOM_BITS):
+    """Σ_w popcount(a_w & b_w) over the paired bloom columns ``_bw{i}_a``
+    / ``_bw{i}_b`` — the codegen'd overlap upper bound."""
+    n_words = bits // 64
+    terms = [
+        F.bit_count(F.col(f"_bw{w}_a").bitwiseAND(F.col(f"_bw{w}_b")))
+        for w in range(n_words)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
 def ngram_jaccard_threshold_pairs(
     df: DataFrame,
     threshold: float,
@@ -254,8 +297,28 @@ def ngram_jaccard_threshold_pairs(
 
     sh = F.array_sort(F.array_distinct(shingles(text_col, shingle_k)))
     gcols = [group_col] if group_col else []
-    docs = df.select(id_col, *gcols, sh.alias("_set"))
-    toks = docs.select(id_col, *gcols, F.size("_set").alias("_sz"), F.explode("_set").alias("tok"))
+    # MATERIALIZE the per-doc shingle-set table once (guide §3.3/§8:
+    # when a subtree is consumed by a self-join plus two verification
+    # joins, Catalyst re-plans it per consumer — the r5 plan scanned the
+    # parquet SIX times and evaluated the O(m log m) shingle expression
+    # ~8× per doc, and the explode-inferred `size(set)>0` filter was
+    # pushed BELOW the caller's parallelizing repartition, serializing
+    # the whole expression tree onto the single-row-group scan task).
+    # localCheckpoint truncates lineage: one scan, one shingle pass, at
+    # the caller's partitioning; every downstream stage reads the
+    # materialized (id, set) rows. At cluster scale this is the
+    # "fingerprint table" materialization of the all-pairs papers —
+    # size ∝ corpus tokens, spillable, never collected to the driver.
+    docs = (
+        df.select(id_col, *gcols, sh.alias("_set"))
+        .select(
+            id_col, *gcols, "_set",
+            F.size("_set").alias("_sz"),
+            *_bloom_word_cols("_set"),
+        )
+        .localCheckpoint()
+    )
+    toks = docs.select(id_col, *gcols, "_sz", F.explode("_set").alias("tok"))
     dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("_df"))
     w = Window.partitionBy(id_col).orderBy("_df", "tok")
     # ceiling with a DOWNWARD bias: float ceil(t*n) can overshoot the
@@ -271,15 +334,48 @@ def ngram_jaccard_threshold_pairs(
         .withColumn("_pos", F.row_number().over(w))
         .where(F.col("_pos") <= F.col("_sz") - alpha + 1)
         .select(id_col, *gcols, "tok")
+        # both sides of the candidate self-join — materialize the
+        # DF-ordered prefix index once instead of running the
+        # explode→DF-join→window pipeline twice
+        .localCheckpoint()
     )
     a = prefix.alias("a")
     b = prefix.alias("b")
     cond = (F.col("a.tok") == F.col("b.tok")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
     if group_col:
         cond = cond & (F.col(f"a.{group_col}") == F.col(f"b.{group_col}"))
+    colls = a.join(b, cond).select(
+        F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+    )
+    # LOSSLESS Bloom prune before the pair-distinct and the exact
+    # verification (guide §3.2 applied to verification): attach each
+    # side's 128-byte bloom summary + set size, keep a collision only
+    # if the popcount upper bound can still reach the overlap a
+    # qualifying pair NEEDS — J ≥ t ⟺ |A∩B| ≥ t/(1+t)·(|A|+|B|)
+    # (ceiling biased DOWN like ``alpha`` above: the bound can only
+    # get weaker, never drops a qualifying pair). Bloom collisions
+    # only inflate the upper bound, so false negatives are impossible;
+    # the surviving pairs (a tiny fraction — random pairs share far
+    # fewer bits than the required overlap) still go through the exact
+    # sorted-set intersection that produces the output values.
+    n_words = BLOOM_BITS // 64
+    meta_a = docs.select(
+        F.col(id_col).alias("id_a"), F.col("_sz").alias("_sz_a"),
+        *[F.col(f"_bw{w}").alias(f"_bw{w}_a") for w in range(n_words)],
+    )
+    meta_b = docs.select(
+        F.col(id_col).alias("id_b"), F.col("_sz").alias("_sz_b"),
+        *[F.col(f"_bw{w}").alias(f"_bw{w}_b") for w in range(n_words)],
+    )
+    required = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (F.col("_sz_a") + F.col("_sz_b"))
+        - F.lit(1e-9)
+    )
     cands = (
-        a.join(b, cond)
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        colls.join(meta_a, "id_a")
+        .join(meta_b, "id_b")
+        .where(_bloom_overlap_ubound() >= required)
+        .select("id_a", "id_b")
         .distinct()
     )
     sa = docs.select(F.col(id_col).alias("id_a"), F.col("_set").alias("set_a"))
@@ -339,10 +435,21 @@ def incremental_jaccard_pairs(
         delta.select(id_col, text_col).withColumn("_is_delta", F.lit(True))
     )
     sh = F.array_sort(F.array_distinct(shingles(text_col, shingle_k)))
-    docs = full.select(id_col, "_is_delta", sh.alias("_set"))
-    toks = docs.select(
-        id_col, "_is_delta", F.size("_set").alias("_sz"), F.explode("_set").alias("tok")
+    # materialized once for the same reason as ngram_jaccard_threshold_
+    # pairs: the set table feeds the token explode AND both
+    # verification joins, and the prefix index feeds both sides of the
+    # candidate join — without the checkpoint each consumer re-scans
+    # and re-shingles the corpus (6 scans in the r5 physical plan)
+    docs = (
+        full.select(id_col, "_is_delta", sh.alias("_set"))
+        .select(
+            id_col, "_is_delta", "_set",
+            F.size("_set").alias("_sz"),
+            *_bloom_word_cols("_set"),
+        )
+        .localCheckpoint()
     )
+    toks = docs.select(id_col, "_is_delta", "_sz", F.explode("_set").alias("tok"))
     dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("_df"))
     w = Window.partitionBy(id_col).orderBy("_df", "tok")
     # same downward-biased ceiling as ngram_jaccard_threshold_pairs:
@@ -353,6 +460,7 @@ def incremental_jaccard_pairs(
         .withColumn("_pos", F.row_number().over(w))
         .where(F.col("_pos") <= F.col("_sz") - alpha + 1)
         .select(id_col, "_is_delta", "tok")
+        .localCheckpoint()
     )
     a = prefix.alias("a")
     b = prefix.where(F.col("_is_delta")).alias("b")
@@ -363,12 +471,31 @@ def incremental_jaccard_pairs(
         # full (the corpus doc may carry either the smaller or larger id)
         & (~F.col("a._is_delta") | (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
     )
+    colls = a.join(b, cond).select(
+        F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_a"),
+        F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_b"),
+    )
+    # same lossless bloom-popcount prune as ngram_jaccard_threshold_
+    # pairs: drop collisions whose overlap upper bound cannot reach the
+    # required t/(1+t)·(|A|+|B|) before the distinct + exact verify
+    n_words = BLOOM_BITS // 64
+    meta_a = docs.select(
+        F.col(id_col).alias("id_a"), F.col("_sz").alias("_sz_a"),
+        *[F.col(f"_bw{w}").alias(f"_bw{w}_a") for w in range(n_words)],
+    )
+    meta_b = docs.select(
+        F.col(id_col).alias("id_b"), F.col("_sz").alias("_sz_b"),
+        *[F.col(f"_bw{w}").alias(f"_bw{w}_b") for w in range(n_words)],
+    )
+    required = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (F.col("_sz_a") + F.col("_sz_b"))
+        - F.lit(1e-9)
+    )
     cands = (
-        a.join(b, cond)
-        .select(
-            F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_a"),
-            F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_b"),
-        )
+        colls.join(meta_a, "id_a")
+        .join(meta_b, "id_b")
+        .where(_bloom_overlap_ubound() >= required)
+        .select("id_a", "id_b")
         .distinct()
     )
     sa = docs.select(F.col(id_col).alias("id_a"), F.col("_set").alias("set_a"))

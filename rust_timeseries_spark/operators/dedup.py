@@ -139,7 +139,10 @@ def minhash_dedup_pairs(
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures → band buckets →
     candidate pairs → estimated Jaccard (signature agreement) filter."""
-    sigs = minhash_signatures(df, id_col, text_col, num_perm, shingle_k, seed)
+    # materialized once: the signature table feeds both sides of the
+    # band-bucket self-join AND both sig-attach joins — four full
+    # shingle+minhash passes without the checkpoint
+    sigs = minhash_signatures(df, id_col, text_col, num_perm, shingle_k, seed).localCheckpoint()
     cands = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band)
     sa = sigs.withColumnRenamed(id_col, "id_a").withColumnRenamed("minhash", "sig_a")
     sb = sigs.withColumnRenamed(id_col, "id_b").withColumnRenamed("minhash", "sig_b")
@@ -197,6 +200,9 @@ def ngram_jaccard_pairs(
             .select("tok")
         )
         toks = toks.join(F.broadcast(hot), "tok", "left_anti")
+    # the (capped) token table feeds the size rollup and both sides of
+    # the inverted-index join — materialize it once
+    toks = toks.localCheckpoint()
     sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = toks.alias("a")
     b = toks.alias("b")
@@ -535,12 +541,15 @@ def lsh_verified_pairs(
     verification join touches |candidates| rows, each with two bounded
     shingle arrays.  This is the operator to use when exact Jaccard ≥
     threshold pairs are wanted from a large corpus."""
-    sigs = minhash_signatures(df, id_col, text_col, num_perm, shingle_k, seed)
+    # both intermediates are multi-consumed (self-join / two attach
+    # joins) — materialize each once instead of re-shingling the corpus
+    # per consumer
+    sigs = minhash_signatures(df, id_col, text_col, num_perm, shingle_k, seed).localCheckpoint()
     cands = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band)
     sets_df = df.select(
         F.col(id_col).alias("_sid"),
         F.array_sort(F.array_distinct(shingles(text_col, shingle_k))).alias("_sset"),
-    )
+    ).localCheckpoint()
     sa = sets_df.withColumnRenamed("_sid", "id_a").withColumnRenamed("_sset", "set_a")
     sb = sets_df.withColumnRenamed("_sid", "id_b").withColumnRenamed("_sset", "set_b")
     inter = F.size(F.array_intersect("set_a", "set_b"))
@@ -598,11 +607,28 @@ def with_simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     @F.pandas_udf(T.LongType())
     def _vote(hash_arrays: pd.Series) -> pd.Series:
-        vals = [
-            simhash_from_hashes(np.asarray(hs, dtype=np.int64).view(np.uint64))
-            for hs in hash_arrays
-        ]
-        return pd.Series(np.array(vals, dtype=np.uint64).view(np.int64))
+        # one vectorized vote per BATCH, not per row: flatten every
+        # doc's hash array into one (N, 64) bit matrix and segment-sum
+        # with np.add.reduceat (segments between consecutive non-empty
+        # row starts are exactly the per-doc runs). Bit-identical to
+        # simhash_from_hashes — same ±1 votes, same tie-to-0 rule.
+        arrs = [np.asarray(a, dtype=np.int64) for a in hash_arrays]
+        lens = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=len(arrs))
+        out = np.zeros(len(arrs), dtype=np.uint64)
+        nz = lens > 0
+        if nz.any():
+            flat = np.concatenate([a for a in arrs if len(a)]).view(np.uint64)
+            bits = (
+                (flat[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                & np.uint64(1)
+            ).astype(np.int64)
+            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            votes = np.add.reduceat(2 * bits - 1, starts[nz], axis=0)
+            weights = np.left_shift(np.uint64(1), np.arange(64, dtype=np.uint64))
+            out[nz] = np.bitwise_or.reduce(
+                np.where(votes > 0, weights[None, :], np.uint64(0)), axis=1
+            )
+        return pd.Series(out.view(np.int64))
 
     tok_hashes = F.when(
         F.col(text_col) != "",
@@ -643,6 +669,11 @@ def simhash_near_pairs(
     width = 64 // n_chunks
     mask = (1 << width) - 1
     sh = with_simhash(df) if "simhash" not in df.columns else df
+    # materialize (id, simhash) once: the chunk table feeds BOTH sides
+    # of the bucket self-join, and without the checkpoint the Arrow
+    # pandas-UDF bit-vote (plus the per-token xxhash64 transform) runs
+    # twice over the corpus
+    sh = sh.select(id_col, "simhash").localCheckpoint()
     chunks = sh.select(
         id_col,
         "simhash",
@@ -670,10 +701,18 @@ def simhash_near_pairs(
             F.col("a.simhash").alias("sh_a"),
             F.col("b.simhash").alias("sh_b"),
         )
-        .distinct()
+        # hamming filter BEFORE the pair-distinct: the XOR+popcount is
+        # a codegen'd projection over the raw collision rows, so the
+        # distinct's shuffle only carries the (rare) near pairs instead
+        # of every bucket collision (tens of millions of rows at 8-bit
+        # chunks). Same rows out: the predicate is row-deterministic,
+        # so filter∘distinct ≡ distinct∘filter.
         .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+        .distinct()
     )
-    return pairs.where(F.col("hamming") <= max_hamming).select("id_a", "id_b", "hamming")
+    return pairs
 
 
 def embedding_near_dup_pairs(

@@ -38,13 +38,15 @@ def words_col(text: str | Column = "text") -> Column:
 def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace + regex token counts, distinct counts, type-token
     ratio. One projection, fully codegen'd."""
-    words = words_col(text_col)
     bpe = F.expr(f"regexp_extract_all({text_col}, '{BPE_SPLIT_PATTERN}', 0)")
+    words = F.col("_rts_ws")
     return (
-        df.withColumn("n_ws_tokens", F.size(words).cast("long"))
+        df.withColumn("_rts_ws", words_col(text_col))
+        .withColumn("n_ws_tokens", F.size(words).cast("long"))
         .withColumn("n_bpe_tokens", F.size(bpe).cast("long"))
         .withColumn("n_distinct_tokens", F.size(F.array_distinct(words)).cast("long"))
         .withColumn("ttr", F.col("n_distinct_tokens").cast("double") / F.col("n_ws_tokens"))
+        .drop("_rts_ws")
     )
 
 
@@ -52,7 +54,10 @@ def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic quality features + a composite score in [0, 1]:
     mean word length sanity, stopword ratio, alphabetic ratio,
     duplicate-word ratio. Pure column math."""
-    words = words_col(text_col)
+    # split bound once; every ratio below reads the attribute instead
+    # of re-splitting (same arithmetic, same values)
+    out = df.withColumn("_rts_ws", words_col(text_col))
+    words = F.col("_rts_ws")
     n_words = F.size(words)
     text = F.col(text_col)
     n_chars = F.length(text)
@@ -72,11 +77,12 @@ def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
         + 0.2 * (1.0 - dup_ratio)
     )
     return (
-        df.withColumn("mean_word_len", mean_word_len)
+        out.withColumn("mean_word_len", mean_word_len)
         .withColumn("alpha_ratio", alpha_ratio)
         .withColumn("punct_ratio", n_punct.cast("double") / F.greatest(n_chars, F.lit(1)))
         .withColumn("dup_word_ratio", dup_ratio)
         .withColumn("quality_score", score)
+        .drop("_rts_ws")
     )
 
 
@@ -85,17 +91,29 @@ def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     word multiset, pick the argmax (ties → lexicographic via the
     ordered greatest chain); 'und' (undetermined) when no lexicon hits.
     """
-    words = words_col(text_col)
+    # bind the split once (attribute, not re-split per lambda element)
+    # and count each lexicon's hits with a set-membership predicate —
+    # same multiset hit count as the array_contains scan, minus the
+    # per-word 10-element array walk
+    out = df.withColumn("_rts_ws", words_col(text_col))
+    words = F.col("_rts_ws")
     hit_cols = []
     for lang, stops in sorted(LANG_STOPWORDS.items()):
-        lex = F.array(*[F.lit(w) for w in stops])
-        hits = F.size(F.filter(words, lambda w: F.array_contains(lex, w)))
+        hits = F.size(F.filter(words, lambda w: w.isin(*stops)))
         hit_cols.append(F.struct(hits.alias("hits"), F.lit(lang).alias("lang")))
     best = F.greatest(*hit_cols) if len(hit_cols) > 1 else hit_cols[0]
-    return df.withColumn(
-        "lang_pred",
-        F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")),
-    ).withColumn("lang_hits", best["hits"].cast("long"))
+    # bind the argmax struct too: it feeds both output columns, and
+    # inlining it would re-run all four lexicon scans per consumer
+    out = out.withColumn("_rts_best", best)
+    best = F.col("_rts_best")
+    return (
+        out.withColumn(
+            "lang_pred",
+            F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")),
+        )
+        .withColumn("lang_hits", best["hits"].cast("long"))
+        .drop("_rts_ws", "_rts_best")
+    )
 
 
 def with_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -167,32 +185,69 @@ def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     at the sf0.1 corpus (19.8 s → 1.8 s for the 5k-doc gate; the gap
     widens with document length); identical results, since
     max-over-runs ≡ max-over-distinct-counts.
+
+    r6 plan-shape note: the word split and each SORTED gram array are
+    bound to intermediate columns instead of being inlined into every
+    consumer. Inlined, the r5 physical plan evaluated the gram
+    constructor 11× and ``split(text)`` 24× per row — and because
+    higher-order functions are CodegenFallback, a ``split`` nested
+    inside a lambda body is re-evaluated PER ARRAY ELEMENT (O(m²)
+    splits per doc). Referenced-more-than-once non-cheap aliases are
+    not re-inlined by CollapseProject, so each intermediate is now
+    computed exactly once per row; the arithmetic (and therefore every
+    output value) is unchanged.
     """
-    out = df
-    # one run-length fold: state = (prev gram, current run, best so far)
-    # where "best" is max(run_len · length(gram)) for the top-share
-    # columns and the exactly-once run count for the duplicate fraction
-    for n, col in ((2, "top2gram_frac"), (3, "top3gram_frac")):
-        out = out.withColumn(col, F.expr(_top_share_sql(text_col, n)))
-    g5 = _ngram_arr(text_col, 5)
+    ws = "_rts_ws"
+    out = df.withColumn(ws, words_col(text_col))
+    n_ws = F.size(F.col(ws))
+
+    def gram_sorted(n: int):
+        # sorted n-gram array straight from the bound word array; the
+        # CASE mirrors _ngram_arr (docs under n words → empty/1-gram)
+        return F.expr(
+            f"array_sort(CASE WHEN size({ws}) >= {n} THEN "
+            f"transform(sequence(0, size({ws}) - {n}), "
+            f"i -> array_join(slice({ws}, i + 1, {n}), ' ')) "
+            f"ELSE array() END)"
+        )
+
+    for n, col in ((2, "_rts_s2"), (3, "_rts_s3"), (5, "_rts_s5")):
+        out = out.withColumn(col, gram_sorted(n))
+    # one run-length fold per statistic: state = (prev gram, current
+    # run, best/singles) — identical fold arithmetic to r5
+    best = (
+        "aggregate({g}, struct('' AS prev, 0L AS run, 0L AS best), "
+        "(s, x) -> struct(x, IF(x = s.prev, s.run + 1, 1L), "
+        "greatest(s.best, IF(x = s.prev, s.run + 1, 1L) * length(x))), "
+        "s -> s.best)"
+    )
+    for n, g, col in ((2, "_rts_s2", "top2gram_frac"), (3, "_rts_s3", "top3gram_frac")):
+        out = out.withColumn(
+            col,
+            F.when(
+                n_ws >= n,
+                F.expr(best.format(g=g)).cast("double") / F.length(F.col(text_col)),
+            ).otherwise(F.lit(0.0)),
+        )
     # singles = runs of length exactly 1: +1 on each run start, −1 when
     # a run reaches length 2 (never adjusted again past that)
     singles = (
-        f"aggregate(array_sort({g5}), "
-        f"struct('' AS prev, 0L AS run, 0L AS singles), "
-        f"(s, x) -> struct(x, "
-        f"IF(x = s.prev, s.run + 1, 1L), "
-        f"s.singles + IF(x = s.prev, IF(s.run = 1, -1L, 0L), 1L)), "
-        f"s -> s.singles)"
+        "aggregate(_rts_s5, "
+        "struct('' AS prev, 0L AS run, 0L AS singles), "
+        "(s, x) -> struct(x, "
+        "IF(x = s.prev, s.run + 1, 1L), "
+        "s.singles + IF(x = s.prev, IF(s.run = 1, -1L, 0L), 1L)), "
+        "s -> s.singles)"
     )
+    g5_sz = F.size(F.col("_rts_s5")).cast("long")
     out = out.withColumn(
         "dup5gram_frac",
-        F.expr(
-            f"CASE WHEN size({g5}) > 0 THEN "
-            f"CAST(size({g5}) - {singles} AS DOUBLE) / size({g5}) ELSE 0.0 END"
-        ),
+        F.when(
+            F.size(F.col("_rts_s5")) > 0,
+            (g5_sz - F.expr(singles)).cast("double") / g5_sz.cast("double"),
+        ).otherwise(F.lit(0.0)),
     )
-    return out
+    return out.drop(ws, "_rts_s2", "_rts_s3", "_rts_s5")
 
 
 # PII scrubbing patterns — deliberately conservative shapes that parse
@@ -266,7 +321,8 @@ def quality_filter(
     *quality_filter* driver gate value-compares the per-(source,
     reason) attrition counts AND the kept token mass against DuckDB.
     """
-    words = words_col(text_col)
+    out = df.withColumn("_rts_ws", words_col(text_col))
+    words = F.col("_rts_ws")
     n_words = F.size(words)
     text = F.col(text_col)
     n_chars = F.length(text)
@@ -274,7 +330,21 @@ def quality_filter(
     n_alpha = F.length(F.regexp_replace(text, r"[^a-zA-Z]", ""))
     alpha_ratio = n_alpha.cast("double") / F.greatest(n_chars, F.lit(1))
     dup_ratio = 1.0 - F.size(F.array_distinct(words)).cast("double") / n_words
-    top2 = F.expr(_top_share_sql(text_col, 2))
+    # top-2-gram share over the bound word array (same fold arithmetic
+    # as with_repetition_stats; the bound attribute stops the
+    # interpreted lambda from re-splitting the text per element)
+    top2 = F.when(
+        n_words >= 2,
+        F.expr(
+            "aggregate(array_sort(transform(sequence(0, size(_rts_ws) - 2), "
+            "i -> array_join(slice(_rts_ws, i + 1, 2), ' '))), "
+            "struct('' AS prev, 0L AS run, 0L AS best), "
+            "(s, x) -> struct(x, IF(x = s.prev, s.run + 1, 1L), "
+            "greatest(s.best, IF(x = s.prev, s.run + 1, 1L) * length(x))), "
+            "s -> s.best)"
+        ).cast("double")
+        / F.length(text),
+    ).otherwise(F.lit(0.0))
     reason = (
         F.when(n_words < min_words, "too_short")
         .when(n_words > max_words, "too_long")
@@ -287,8 +357,10 @@ def quality_filter(
         .when(top2 > max_top2gram_frac, "rep_2gram")
         .otherwise("keep")
     )
-    return df.withColumn("drop_reason", reason).withColumn(
-        "keep", F.col("drop_reason") == "keep"
+    return (
+        out.withColumn("drop_reason", reason)
+        .withColumn("keep", F.col("drop_reason") == "keep")
+        .drop("_rts_ws")
     )
 
 
@@ -326,27 +398,35 @@ def with_char_entropy(df: DataFrame, text_col: str = "text") -> DataFrame:
     O(m·distinct) per doc inside codegen, no (doc, char) explode and
     therefore no shuffle at any corpus size. Emits ``n_chars_total``,
     ``n_distinct_chars``, ``char_entropy``."""
-    chars = F.split(F.col(text_col), "")
+    # r6 plan shape: bind chars / distinct / per-char counts to
+    # intermediate columns. Inlined, the interpreted higher-order fold
+    # re-evaluated ``split(text, '')`` per distinct char AND counted
+    # each char twice (once for p, once inside log2). The probability
+    # terms and the fold order (first-occurrence order of the distinct
+    # array) are unchanged, so the float accumulation — and the oracle
+    # hash — is bit-identical.
+    out = (
+        df.withColumn("_rts_ch", F.split(F.col(text_col), ""))
+        .withColumn("_rts_dc", F.array_distinct(F.col("_rts_ch")))
+    )
+    chars = F.col("_rts_ch")
+    distinct = F.col("_rts_dc")
     m = F.size(chars)
-    distinct = F.array_distinct(chars)
-    # p·log2(p) summed over the per-doc alphabet; aggregate is a left
-    # fold in array order (deterministic — array_distinct preserves
-    # first-occurrence order on both engines' oracle spelling)
+    # per-distinct-char counts, each computed ONCE, in distinct order
+    out = out.withColumn(
+        "_rts_cnt",
+        F.transform(distinct, lambda c: F.size(F.filter(chars, lambda x: x == c))),
+    )
     ent = F.aggregate(
-        distinct,
+        F.col("_rts_cnt"),
         F.lit(0.0),
-        lambda acc, c: acc
-        - (
-            F.size(F.filter(chars, lambda x: x == c)).cast("double")
-            / m.cast("double")
-        )
-        * F.log2(
-            F.size(F.filter(chars, lambda x: x == c)).cast("double")
-            / m.cast("double")
-        ),
+        lambda acc, n: acc
+        - (n.cast("double") / m.cast("double"))
+        * F.log2(n.cast("double") / m.cast("double")),
     )
     return (
-        df.withColumn("n_chars_total", m.cast("long"))
+        out.withColumn("n_chars_total", m.cast("long"))
         .withColumn("n_distinct_chars", F.size(distinct).cast("long"))
         .withColumn("char_entropy", ent)
+        .drop("_rts_ch", "_rts_dc", "_rts_cnt")
     )

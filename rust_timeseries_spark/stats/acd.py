@@ -126,10 +126,14 @@ def loglik(x: np.ndarray, theta: np.ndarray, spec: AcdSpec) -> float:
     psi, *_ = _compute_psi(x, theta, spec)
     t0 = spec.t0 or 0
     lp = S.logpdf_vec(x[t0:], psi[t0:], spec.law, spec.law_full_params())
-    total = 0.0
-    for v in lp:  # try_fold order (bit-parity note SURVEY.md §7.2.1)
-        total += float(v)
-    return total
+    if len(lp) == 0:
+        return 0.0
+    # try_fold order (bit-parity note SURVEY.md §7.2.1): add.accumulate
+    # is the SAME strictly-sequential left-to-right double accumulation
+    # as the former Python loop (cumulative ops cannot be pairwise-
+    # reordered), just in C — this sum runs once per optimizer f-eval
+    # and the Python loop dominated the whole fit at 200k-point series
+    return float(np.add.accumulate(lp)[-1])
 
 
 def _deriv_and_psi(x: np.ndarray, theta: np.ndarray, spec: AcdSpec):
@@ -238,6 +242,19 @@ def scores(x: np.ndarray, theta: np.ndarray, spec: AcdSpec) -> np.ndarray:
     ig = S.loglik_grad_vec(x[t0:], psi_buf[start:], spec.law, spec.law_full_params())
     mat = deriv[start:] * ig[:, None]
     logistic0 = S.safe_logistic(float(theta[0]))
+    if p == 1 and q == 1:
+        # vectorized ACD(1,1) hot path: ufunc column ops apply the SAME
+        # per-element IEEE sequence as safe_softmax_deriv row by row
+        # (1-element dots are plain products), so the score matrix is
+        # bit-identical — the former per-row Python loop was the whole
+        # cost of the covariance gate at 200k-observation series
+        a0, b0 = float(alpha[0]), float(beta[0])
+        scale = 1.0 - STATIONARITY_MARGIN
+        c = (mat[:, 1] * a0 + mat[:, 2] * b0) / scale
+        mat[:, 1] = a0 / scale * (mat[:, 1] - c)
+        mat[:, 2] = b0 / scale * (mat[:, 2] - c)
+        mat[:, 0] *= logistic0
+        return mat
     for r in range(mat.shape[0]):
         tail = mat[r, 1:].copy()
         S.safe_softmax_deriv(alpha, beta, tail)

@@ -63,16 +63,20 @@ def heavy_hitters_exact(
     the input column's type.
 
     Plan: one candidate scan (mapInPandas, zero shuffle — it also
-    carries per-partition row totals, so N needs no separate pass) →
-    bounded collect (≤ k·partitions values) → broadcast-semi-join
-    recount (two-phase agg over candidates only) →
-    TakeOrderedAndProject. Exactly TWO corpus scans."""
+    carries per-partition row totals, so N needs no separate pass;
+    materialized once via localCheckpoint) → broadcast-SEMI-JOIN
+    recount (two-phase agg over candidates only; the candidate set
+    never touches the driver — r5 verdict item 1: at 10⁵ input
+    partitions a collect()+isin literal would pull ~25M values through
+    the driver and produce an uncompilable predicate) →
+    TakeOrderedAndProject. Exactly TWO corpus scans; the only
+    driver-side value is the scalar N."""
     if top_n < 1 or k_counters < top_n:
         raise ValueError(f"need k_counters >= top_n >= 1, got {k_counters}, {top_n}")
-    # NULLs are EXCLUDED from ranking and from N (review r5s4: isin
-    # never matches null, so an unfiltered null-heavy column returned a
-    # silently short top-n stamped guaranteed=True; dropping them keeps
-    # the guarantee statement true for the non-null value population)
+    # NULLs are EXCLUDED from ranking and from N (review r5s4: a
+    # null-heavy column otherwise returned a silently short top-n
+    # stamped guaranteed=True; dropping them keeps the guarantee
+    # statement true for the non-null value population)
     vtype = dict(df.dtypes)[col]
     src = df.select(F.col(col).alias("v")).where(F.col("v").isNotNull())
 
@@ -93,34 +97,46 @@ def heavy_hitters_exact(
                 items = sorted(counters.items(), key=lambda kv: (-kv[1], kv[0]))
                 cut = items[k_counters][1]  # (k+1)-th count: subtract it
                 counters = {v: c - cut for v, c in items if c > cut}
+        # ALWAYS emit a v=NULL sentinel carrying this partition's row
+        # total: a summary that ends empty (possible — MG([a,b], k=1)
+        # = {}) must still contribute its n_part, otherwise N
+        # undercounts and the `guaranteed` flag overclaims (r5 advice).
+        # src filters nulls, so NULL rows are unambiguous sentinels.
         yield pd.DataFrame({
-            "v": pd.Series(list(counters.keys()), dtype=object),
-            "n_part": [total] * len(counters),
-            "pid": [pid] * len(counters),
+            "v": pd.Series(list(counters.keys()) + [None], dtype=object),
+            "n_part": [total] * (len(counters) + 1),
+            "pid": [pid] * (len(counters) + 1),
         })
 
     # output value column keeps the INPUT type (review r5s4: a
-    # hardcoded string schema crashed on bigint heavy-hitter keys)
-    cands = src.mapInPandas(_summaries, f"v {vtype}, n_part long, pid string").persist()
-    cand_rows = cands.select("v").distinct().collect()  # bounded: <= k * partitions
-    cand_vals = [r["v"] for r in cand_rows]
-    # N from the per-partition totals already emitted — no third scan
+    # hardcoded string schema crashed on bigint heavy-hitter keys).
+    # localCheckpoint: one candidate scan serves both the N aggregate
+    # (an action below) and the semi-join in the returned plan.
+    cands = src.mapInPandas(_summaries, f"v {vtype}, n_part long, pid string").localCheckpoint()
+    # N from the per-partition sentinel totals — no third scan, and the
+    # only collect in the operator is this single scalar
     total_n = (
         cands.select("pid", "n_part").distinct().agg(F.sum("n_part")).collect()[0][0]
         or 0
     )
-    cands.unpersist()
+    cand_keys = cands.select("v").where(F.col("v").isNotNull()).distinct()
     counts = (
-        src.where(F.col("v").isin(cand_vals))
+        src.join(F.broadcast(cand_keys), "v", "left_semi")
         .groupBy("v")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
         .orderBy(F.desc("n"), F.asc("v"))
         .limit(top_n)
     )
     thresh = total_n / (k_counters + 1)
-    # the global-window min runs AFTER the limit: <= top_n rows
+    # the min runs AFTER the limit (<= top_n rows); pmod(n, 1) = 0 is a
+    # constant-per-row, NON-foldable partition key (a bare literal gets
+    # constant-folded out of the spec and WindowExec then warns about a
+    # global window even though the input is bounded)
     return counts.select(
         F.col("v").alias("value"),
         "n",
-        (F.min("n").over(Window.partitionBy()) > F.lit(thresh)).alias("guaranteed"),
+        (
+            F.min("n").over(Window.partitionBy(F.pmod(F.col("n"), F.lit(1))))
+            > F.lit(thresh)
+        ).alias("guaranteed"),
     )

@@ -56,8 +56,11 @@ def stable_hash32(id_col) -> "F.Column":
     bound)."""
     c = F.col(id_col).cast("long")
     # DIV, not float division: a double quotient loses exactness past
-    # 2^53 and this hash must be bit-stable at any id
-    hi = F.expr(f"CAST({id_col} AS BIGINT) DIV {1 << 31}")
+    # 2^53 and this hash must be bit-stable at any id. Identifier is
+    # backtick-quoted: names needing quoting (spaces, dots, hyphens)
+    # must resolve to the same column F.col sees (r5 advice).
+    quoted = id_col.replace("`", "``")
+    hi = F.expr(f"CAST(`{quoted}` AS BIGINT) DIV {1 << 31}")
     folded = F.pmod(c, F.lit(1 << 31)).bitwiseXOR(hi)
     return F.pmod(folded * F.lit(KNUTH32), F.lit(_M32))
 
@@ -268,8 +271,11 @@ def weighted_sample_n(
     # inclusion probability 0, and a negative w would flip the key's
     # sign and outrank every valid row (review r5s4; under ANSI mode a
     # zero weight previously aborted the whole job with DIVIDE_BY_ZERO).
+    # NaN must be excluded explicitly: Spark orders NaN above every
+    # number, so `w > 0` ALONE passes NaN weights, whose samp_key=NaN
+    # then sorts first under desc and displaces valid rows (r5 advice)
     w = F.col(weight_col).cast("double")
-    df = df.where(w > 0)
+    df = df.where((w > 0) & ~F.isnan(w))
     u = (stable_hash32(id_col) + F.lit(0.5)) / F.lit(float(_M32))
     key = F.log(u) / w
     out = df.withColumn("samp_key", key)
@@ -280,7 +286,12 @@ def weighted_sample_n(
             out.withColumn("samp_rank", F.row_number().over(w))
             .where(F.col("samp_rank") <= n)
         )
+    # the rank window sees <= n post-limit rows; pmod(id, 1) = 0 is a
+    # constant-per-row, NON-foldable partition key (a bare literal gets
+    # constant-folded out and WindowExec then warns about a global
+    # window even though the input is bounded)
+    grp = F.pmod(F.col(id_col).cast("long"), F.lit(1))
     return out.orderBy(*order).limit(n).withColumn(
         "samp_rank",
-        F.row_number().over(Window.orderBy(*order)),
+        F.row_number().over(Window.partitionBy(grp).orderBy(*order)),
     )

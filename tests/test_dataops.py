@@ -1357,3 +1357,50 @@ def test_weighted_sample_nonpositive_weights_ineligible(spark):
     out = sampling.weighted_sample_n(df, n=10, weight_col="w")
     ids = {r["doc_id"] for r in out.collect()}
     assert ids == {1, 4}  # w<=0 rows are ineligible, job does NOT abort
+
+
+def test_heavy_hitters_empty_summary_partition_still_counts_N(spark):
+    """r6 (r5 advice): a partition whose Misra-Gries summary ends empty
+    (MG([a,b], k=1) == {}) must still contribute its row total to N via
+    the sentinel row, so the `guaranteed` threshold N/(k+1) does not
+    shrink. Misra-Gries composition itself is unchanged."""
+    from rust_timeseries_spark.operators import heavyhitters as hh
+
+    # partition 0: ['a','b'] with k=1 cancels to {} (the empty-summary
+    # case); partition 1: [hot, hot, x] -> {hot: 1}. True N = 5 so
+    # thresh = 5/2 = 2.5 and the top count 2 must NOT certify; with the
+    # empty partition's total lost, N = 3, thresh 1.5, and 2 > 1.5
+    # would wrongly stamp guaranteed=True.
+    rdd = spark.sparkContext.parallelize([("a",), ("b",)], 1).union(
+        spark.sparkContext.parallelize([("hot",), ("hot",), ("x",)], 1)
+    )
+    df = spark.createDataFrame(rdd, ["w"])
+    got = hh.heavy_hitters_exact(df, "w", top_n=1, k_counters=1).collect()[0]
+    assert (got["value"], got["n"]) == ("hot", 2)
+    assert got["guaranteed"] is False  # 2 > 5/2 is false with the true N
+
+
+def test_heavy_hitters_recount_has_no_driver_literal(spark):
+    """r6 (r5 verdict item 1): the exact-recount plan must attach
+    candidates by semi-join, never a collect()-built IN literal."""
+    from rust_timeseries_spark.operators import heavyhitters as hh
+
+    df = spark.createDataFrame([(f"v{i % 7}",) for i in range(500)], ["w"]).repartition(4)
+    out = hh.heavy_hitters_exact(df, "w", top_n=3, k_counters=32)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    assert " IN (" not in plan  # no collect()-built literal predicate
+    rows = out.collect()
+    assert rows[0]["n"] == 72  # 500 rows over 7 values: ceil spread
+
+def test_weighted_sample_nan_weight_ineligible(spark):
+    """r6 (r5 advice): NaN weights sort above every number under desc
+    and previously displaced valid rows from the top-n."""
+    from rust_timeseries_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, float("nan")), (3, 2.0)], ["doc_id", "w"]
+    )
+    out = sampling.weighted_sample_n(df, n=2, weight_col="w")
+    ids = {r["doc_id"] for r in out.collect()}
+    assert ids == {1, 3}

@@ -60,11 +60,30 @@ def ngram_overlap(
     ``n_hit`` (how many of them appear in ANY training document) and
     ``contaminated`` (1 when ``n_hit > 0``). One row per eval doc,
     including docs with zero n-grams."""
-    grams = word_ngrams(text_col, n).alias("grams")
-    ev = eval_df.select(F.col(id_col), grams)
+    # bind the word split to a column first: higher-order functions are
+    # CodegenFallback, so a split() nested inside the transform lambda
+    # is re-evaluated PER ELEMENT (O(m²) splits per doc); a
+    # multi-referenced non-cheap alias is kept materialized once per
+    # row by CollapseProject. The eval-side gram table is additionally
+    # checkpointed — it feeds both the explode and the per-doc size
+    # projection.
+    ws = "_rts_ws"
+    grams_ws = F.expr(
+        f"CASE WHEN size({ws}) >= {n} THEN "
+        f"array_distinct(transform(sequence(0, size({ws}) - {n}), "
+        f"i -> array_join(slice({ws}, i + 1, {n}), ' '))) "
+        f"ELSE array() END"
+    )
+    ev = (
+        eval_df.withColumn(ws, F.split(F.col(text_col), " "))
+        .select(F.col(id_col), grams_ws.alias("grams"))
+        .localCheckpoint()
+    )
     ev_g = ev.select(id_col, F.explode("grams").alias("g"))
     train_g = (
-        train_df.select(F.explode(word_ngrams(text_col, n)).alias("g")).distinct()
+        train_df.withColumn(ws, F.split(F.col(text_col), " "))
+        .select(F.explode(grams_ws).alias("g"))
+        .distinct()
     )
     hits = (
         ev_g.join(train_g, "g", "left_semi")

@@ -39,8 +39,28 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def shingles(text_col: str = "text", k: int = 3):
-    """k-word shingles as strings — JVM transform over the word array."""
+    """k-word shingles as strings — JVM transform over the word array.
+
+    NOTE: prefer binding the split to a column and using
+    ``shingles_of_words`` — with the split inlined here, the
+    interpreted higher-order transform re-evaluates ``split(text)``
+    per element (O(m²) splits per doc)."""
     words = words_col(text_col)
+    n = F.size(words)
+    return F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(words, i, k)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", words)))
+
+
+def shingles_of_words(words_col_name: str, k: int = 3):
+    """Same shingle construction over an ALREADY-BOUND word-array
+    column (an attribute, so the per-element lambda body re-slices a
+    materialized array instead of re-splitting the text)."""
+    words = F.col(words_col_name)
     n = F.size(words)
     return F.when(
         n >= k,
@@ -69,8 +89,9 @@ def minhash_signatures(
     every permutation's expression tree — Catalyst's project collapse
     re-evaluated it ``num_perm`` times per row, ~30× slower at sf0.1.
     Values are identical (same xxhash64(shingle, seed+i) definition)."""
-    sh = shingles(text_col, shingle_k)
-    exploded = df.select(id_col, F.explode(sh).alias("_sh"))
+    exploded = df.withColumn("_rts_ws", words_col(text_col)).select(
+        id_col, F.explode(shingles_of_words("_rts_ws", shingle_k)).alias("_sh")
+    )
     mins = exploded.groupBy(id_col).agg(
         *[
             F.min(F.xxhash64("_sh", F.lit(seed + i))).alias(f"_m{i}")
@@ -189,9 +210,11 @@ def ngram_jaccard_pairs(
     Intended position at scale: verification stage behind
     ``lsh_candidate_pairs`` (see ``lsh_verified_pairs``) or capped
     standalone for modest corpora."""
-    sh = F.array_distinct(shingles(text_col, shingle_k))
+    sh = F.array_distinct(shingles_of_words("_rts_ws", shingle_k))
     gcols = [group_col] if group_col else []
-    toks = df.select(id_col, *gcols, F.explode(sh).alias("tok"))
+    toks = df.withColumn("_rts_ws", words_col(text_col)).select(
+        id_col, *gcols, F.explode(sh).alias("tok")
+    )
     if max_df is not None:
         hot = (
             toks.groupBy("tok")
@@ -301,7 +324,7 @@ def ngram_jaccard_threshold_pairs(
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     from pyspark.sql import Window
 
-    sh = F.array_sort(F.array_distinct(shingles(text_col, shingle_k)))
+    sh = F.array_sort(F.array_distinct(shingles_of_words("_rts_ws", shingle_k)))
     gcols = [group_col] if group_col else []
     # MATERIALIZE the per-doc shingle-set table once (guide §3.3/§8:
     # when a subtree is consumed by a self-join plus two verification
@@ -316,7 +339,8 @@ def ngram_jaccard_threshold_pairs(
     # "fingerprint table" materialization of the all-pairs papers —
     # size ∝ corpus tokens, spillable, never collected to the driver.
     docs = (
-        df.select(id_col, *gcols, sh.alias("_set"))
+        df.withColumn("_rts_ws", words_col(text_col))
+        .select(id_col, *gcols, sh.alias("_set"))
         .select(
             id_col, *gcols, "_set",
             F.size("_set").alias("_sz"),
@@ -440,14 +464,15 @@ def incremental_jaccard_pairs(
     ).unionByName(
         delta.select(id_col, text_col).withColumn("_is_delta", F.lit(True))
     )
-    sh = F.array_sort(F.array_distinct(shingles(text_col, shingle_k)))
+    sh = F.array_sort(F.array_distinct(shingles_of_words("_rts_ws", shingle_k)))
     # materialized once for the same reason as ngram_jaccard_threshold_
     # pairs: the set table feeds the token explode AND both
     # verification joins, and the prefix index feeds both sides of the
     # candidate join — without the checkpoint each consumer re-scans
     # and re-shingles the corpus (6 scans in the r5 physical plan)
     docs = (
-        full.select(id_col, "_is_delta", sh.alias("_set"))
+        full.withColumn("_rts_ws", words_col(text_col))
+        .select(id_col, "_is_delta", sh.alias("_set"))
         .select(
             id_col, "_is_delta", "_set",
             F.size("_set").alias("_sz"),
@@ -546,9 +571,9 @@ def lsh_verified_pairs(
     # per consumer
     sigs = minhash_signatures(df, id_col, text_col, num_perm, shingle_k, seed).localCheckpoint()
     cands = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band)
-    sets_df = df.select(
+    sets_df = df.withColumn("_rts_ws", words_col(text_col)).select(
         F.col(id_col).alias("_sid"),
-        F.array_sort(F.array_distinct(shingles(text_col, shingle_k))).alias("_sset"),
+        F.array_sort(F.array_distinct(shingles_of_words("_rts_ws", shingle_k))).alias("_sset"),
     ).localCheckpoint()
     sa = sets_df.withColumnRenamed("_sid", "id_a").withColumnRenamed("_sset", "set_a")
     sb = sets_df.withColumnRenamed("_sid", "id_b").withColumnRenamed("_sset", "set_b")

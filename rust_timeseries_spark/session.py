@@ -48,6 +48,21 @@ def build_spark(
         # Deterministic session timezone: bucket boundaries must not
         # depend on the host TZ.
         .config("spark.sql.session.timeZone", "UTC")
+        # InferFiltersFromGenerate synthesizes `size(e) > 0 AND
+        # isnotnull(e)` below every explode. Every generator input in
+        # this engine is a COMPUTED array (shingles, n-grams, banded
+        # signatures — never a scanned column), so the inferred filter
+        # can never reach PushedFilters; it only re-evaluates the most
+        # expensive expression in the plan a second time, and predicate
+        # pushdown then drags it below the parallelizing repartition
+        # onto the single-split scan task. Scale-independent: the rule
+        # is pure overhead whenever the generator input is derived
+        # (measured 2.6× on the MinHash signature pass, 2× on the
+        # n-gram decontamination scan at sf1).
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

@@ -348,9 +348,20 @@ def ngram_jaccard_threshold_pairs(
         )
         .localCheckpoint()
     )
-    toks = docs.select(id_col, *gcols, "_sz", F.explode("_set").alias("tok"))
-    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("_df"))
-    w = Window.partitionBy(id_col).orderBy("_df", "tok")
+    # tokens enter the index as their xxhash64 (shuffle keys, not
+    # payloads — guide §2.3): DF counting, the prefix window sort and
+    # the candidate self-join all run on fixed-width longs. The order
+    # (_df, tok_h, tok) is still a TOTAL order on tokens (the string
+    # tie-break only fires on 2⁻⁶⁴ hash collisions), so the pigeonhole
+    # prefix guarantee is unchanged; joining on the hash can only ADD
+    # collision candidates, which the bloom prune + exact verification
+    # remove. No qualifying pair can be lost.
+    toks = docs.select(
+        id_col, *gcols, "_sz",
+        F.explode("_set").alias("tok"),
+    ).withColumn("_th", F.xxhash64("tok"))
+    dfreq = toks.groupBy("_th").agg(F.count(F.lit(1)).alias("_df"))
+    w = Window.partitionBy(id_col).orderBy("_df", "_th", "tok")
     # ceiling with a DOWNWARD bias: float ceil(t*n) can overshoot the
     # value the float jaccard comparison actually implies (e.g.
     # 0.07*100 → 7.000000000000001 → ceil 8, yet inter=7/union=100
@@ -360,10 +371,10 @@ def ngram_jaccard_threshold_pairs(
     # safe direction (pinned by test_prefix_ceiling_never_overshoots).
     alpha = F.ceil(F.lit(threshold) * F.col("_sz") - F.lit(1e-9))
     prefix = (
-        toks.join(dfreq, "tok")
+        toks.join(dfreq, "_th")
         .withColumn("_pos", F.row_number().over(w))
         .where(F.col("_pos") <= F.col("_sz") - alpha + 1)
-        .select(id_col, *gcols, "tok")
+        .select(id_col, *gcols, "_th")
         # both sides of the candidate self-join — materialize the
         # DF-ordered prefix index once instead of running the
         # explode→DF-join→window pipeline twice
@@ -371,7 +382,7 @@ def ngram_jaccard_threshold_pairs(
     )
     a = prefix.alias("a")
     b = prefix.alias("b")
-    cond = (F.col("a.tok") == F.col("b.tok")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    cond = (F.col("a._th") == F.col("b._th")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
     if group_col:
         cond = cond & (F.col(f"a.{group_col}") == F.col(f"b.{group_col}"))
     colls = a.join(b, cond).select(
@@ -480,23 +491,29 @@ def incremental_jaccard_pairs(
         )
         .localCheckpoint()
     )
-    toks = docs.select(id_col, "_is_delta", "_sz", F.explode("_set").alias("tok"))
-    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("_df"))
-    w = Window.partitionBy(id_col).orderBy("_df", "tok")
+    # hashed-token index, same lossless argument as
+    # ngram_jaccard_threshold_pairs (order (_df, tok_h, tok) is total;
+    # hash-equality candidates are a superset; bloom + exact verify
+    # remove the extras)
+    toks = docs.select(
+        id_col, "_is_delta", "_sz", F.explode("_set").alias("tok")
+    ).withColumn("_th", F.xxhash64("tok"))
+    dfreq = toks.groupBy("_th").agg(F.count(F.lit(1)).alias("_df"))
+    w = Window.partitionBy(id_col).orderBy("_df", "_th", "tok")
     # same downward-biased ceiling as ngram_jaccard_threshold_pairs:
     # only ever LENGTHENS the prefix, so no qualifying pair is lost
     alpha = F.ceil(F.lit(threshold) * F.col("_sz") - F.lit(1e-9))
     prefix = (
-        toks.join(dfreq, "tok")
+        toks.join(dfreq, "_th")
         .withColumn("_pos", F.row_number().over(w))
         .where(F.col("_pos") <= F.col("_sz") - alpha + 1)
-        .select(id_col, "_is_delta", "tok")
+        .select(id_col, "_is_delta", "_th")
         .localCheckpoint()
     )
     a = prefix.alias("a")
     b = prefix.where(F.col("_is_delta")).alias("b")
     cond = (
-        (F.col("a.tok") == F.col("b.tok"))
+        (F.col("a._th") == F.col("b._th"))
         & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
         # delta-delta pairs once (a.id < b.id); corpus-delta pairs in
         # full (the corpus doc may carry either the smaller or larger id)

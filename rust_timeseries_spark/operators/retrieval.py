@@ -78,7 +78,10 @@ def bm25_topk(
     double arithmetic — ``ln`` is the only transcendental — so a SQL
     engine reproduces them bit-for-bit.
     """
-    tf = doc_term_freqs(docs, id_col, text_col)
+    # materialized once: the (doc, term) frequency table feeds the
+    # corpus stats, the posting-list cardinalities AND the hit join —
+    # without the checkpoint the explode + two-phase count runs 3×
+    tf = doc_term_freqs(docs, id_col, text_col).localCheckpoint()
     # avgdl as exact-BIGINT sum / count, NOT F.avg: engines disagree on
     # avg-over-integers internals (Spark folds doubles in partition
     # order, DuckDB divides an exact integer sum) — one pinned division

@@ -192,6 +192,7 @@ def ngram_jaccard_pairs(
     group_col: str | None = None,
     shingle_k: int = 3,
     max_df: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard for all within-group pairs via an inverted
     index join (shingle → docs), not a cross join.
@@ -225,7 +226,9 @@ def ngram_jaccard_pairs(
         toks = toks.join(F.broadcast(hot), "tok", "left_anti")
     # the (capped) token table feeds the size rollup and both sides of
     # the inverted-index join — materialize it once
-    toks = toks.localCheckpoint()
+    # (``materialize=False`` keeps the lazy plan for plan audits)
+    if materialize:
+        toks = toks.localCheckpoint()
     sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = toks.alias("a")
     b = toks.alias("b")

@@ -81,6 +81,13 @@ class TierStore:
         tiers = self.cascade(raw_df)
         for tier, df in tiers.items():
             out = self._with_day(df) if _PARTITION_COLS[tier] else df
+            if _PARTITION_COLS[tier]:
+                # cluster by the partition column before the partitioned
+                # write (Iceberg's write.distribution-mode=hash): without
+                # it every aggregate task opens a file in every day dir
+                # it holds rows for — ~32 tasks × |days| tiny files per
+                # tier, paid again on every read's listing (guide §6)
+                out = out.repartition(*_PARTITION_COLS[tier])
             writer = out.write.mode("overwrite")
             if _PARTITION_COLS[tier]:
                 writer = writer.partitionBy(*_PARTITION_COLS[tier])
@@ -117,7 +124,10 @@ class TierStore:
         tiers = self.cascade(dirty_raw)
         for tier in ("1m", "1h"):
             out = self._with_day(tiers[tier])
-            # dynamic partition overwrite: only the dirty bucket_day dirs
+            # dynamic partition overwrite: only the dirty bucket_day dirs.
+            # Clustered by day first — same one-file-per-day write shape
+            # as materialize_full (guide §6)
+            out = out.repartition("bucket_day")
             out.write.mode("overwrite").partitionBy("bucket_day").parquet(self.tier_path(tier))
         # 1d tier is unpartitioned-by-day: rebuild it from the 1h tier
         # (cheap — |sources| × |days| rows)

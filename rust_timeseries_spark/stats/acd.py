@@ -101,10 +101,11 @@ class AcdSpec:
 # per-series numpy model (the reference's single-threaded core)
 # ---------------------------------------------------------------------------
 
-def _compute_psi(x: np.ndarray, theta: np.ndarray, spec: AcdSpec):
+def _compute_psi(x: np.ndarray, theta: np.ndarray, spec: AcdSpec, sample_mean: float | None = None):
     p, q = spec.p, spec.q
     omega, alpha, beta, slack = S.theta_to_params(theta, p, q)
-    sample_mean = float(x.mean())
+    if sample_mean is None:
+        sample_mean = float(x.mean())
     uncond = omega / (1.0 - float(alpha.sum()) - float(beta.sum()))
     if spec.init == "uncond_mean":
         pi, di = np.full(p, uncond), np.full(q, uncond)
@@ -136,10 +137,15 @@ def loglik(x: np.ndarray, theta: np.ndarray, spec: AcdSpec) -> float:
     return float(np.add.accumulate(lp)[-1])
 
 
-def _deriv_and_psi(x: np.ndarray, theta: np.ndarray, spec: AcdSpec):
-    """ψ buffer (p pre-sample + n in-sample) and derivative rows."""
+def _deriv_and_psi(x: np.ndarray, theta: np.ndarray, spec: AcdSpec, psi_state=None):
+    """ψ buffer (p pre-sample + n in-sample) and derivative rows.
+    ``psi_state`` accepts a precomputed ``_compute_psi`` tuple so the
+    fit's line search evaluates ψ once per θ, not once for f and once
+    for g (identical values either way)."""
     p, q = spec.p, spec.q
-    psi, omega, alpha, beta, slack, pi, di = _compute_psi(x, theta, spec)
+    psi, omega, alpha, beta, slack, pi, di = (
+        psi_state if psi_state is not None else _compute_psi(x, theta, spec)
+    )
     psi_buf = np.concatenate([pi, psi])
     n = len(x)
     dim = 1 + q + p
@@ -216,10 +222,10 @@ def _deriv_and_psi(x: np.ndarray, theta: np.ndarray, spec: AcdSpec):
     return psi_buf, deriv, omega, alpha, beta, slack
 
 
-def grad(x: np.ndarray, theta: np.ndarray, spec: AcdSpec) -> np.ndarray:
+def grad(x: np.ndarray, theta: np.ndarray, spec: AcdSpec, psi_state=None) -> np.ndarray:
     """∇ℓ(θ) — LogLikelihood::grad (acd.rs:590-619)."""
     p, q = spec.p, spec.q
-    psi_buf, deriv, omega, alpha, beta, slack = _deriv_and_psi(x, theta, spec)
+    psi_buf, deriv, omega, alpha, beta, slack = _deriv_and_psi(x, theta, spec, psi_state)
     t0 = spec.t0 or 0
     start = p + t0
     law, lp = spec.law, spec.law_full_params()
@@ -284,14 +290,43 @@ def fit_series(
     ll = loglik_fn if loglik_fn is not None else loglik
     gr = grad_fn if grad_fn is not None else grad
 
+    # One-slot per-θ ψ cache for the DEFAULT kernels: the line search
+    # evaluates φ and φ′ at the same trial points, so without it the
+    # recursion (and x.mean / θ-transform) runs twice per point. The
+    # cached tuple is exactly what _compute_psi returns — values are
+    # bit-identical; overridden kernels (evaluation-counter threading)
+    # keep the plain path.
+    use_cache = loglik_fn is None and grad_fn is None
+    if use_cache:
+        _sm = float(x.mean())
+        _t0 = spec.t0 or 0
+        _lparams = spec.law_full_params()
+        _memo: dict = {}
+
+        def _psi_state(t):
+            key = t.tobytes()
+            if _memo.get("k") != key:
+                state = _compute_psi(x, t, spec, sample_mean=_sm)
+                _memo["k"], _memo["v"] = key, state
+            return _memo["v"]
+
     def f(t):
         try:
+            if use_cache:
+                t = np.asarray(t, dtype=np.float64)
+                psi = _psi_state(t)[0]
+                lp = S.logpdf_vec(x[_t0:], psi[_t0:], spec.law, _lparams)
+                val = 0.0 if len(lp) == 0 else float(np.add.accumulate(lp)[-1])
+                return -val
             return -ll(x, t, spec)
         except (ValueError, FloatingPointError, OverflowError):
             return float("inf")
 
     def g(t):
         try:
+            if use_cache:
+                t = np.asarray(t, dtype=np.float64)
+                return -grad(x, t, spec, psi_state=_psi_state(t))
             return -gr(x, t, spec)
         except (ValueError, FloatingPointError, OverflowError):
             # a garbage θ probed past the feasible region: a NaN

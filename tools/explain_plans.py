@@ -80,7 +80,9 @@ def main() -> None:
                    "Generate" in plan and "explode(" in plan and plan.count("HashAggregate") >= 2, plan))
 
     # 7. capped n-gram Jaccard: hot-token removal is a broadcast anti-join
-    plan = explain_str(dedup.ngram_jaccard_pairs(docs, shingle_k=1, max_df=50))
+    # (materialize=False: the production path checkpoints the capped
+    # token table, which would truncate the audited plan)
+    plan = explain_str(dedup.ngram_jaccard_pairs(docs, shingle_k=1, max_df=50, materialize=False))
     checks.append(("jaccard: DF cap via BroadcastHashJoin LeftAnti",
                    "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan))
 
@@ -457,9 +459,11 @@ def main() -> None:
 
     words = docs_ep.selectExpr("explode(split(text, ' ')) as w")
     plan = explain_str(hh_ops.heavy_hitters_exact(words, "w", top_n=5, k_counters=64))
-    checks.append(("heavy hitters: isin filter + two-phase count + top-n",
+    checks.append(("heavy hitters: broadcast SEMI-join recount (no driver isin literal) + two-phase count + top-n",
                    plan.count("HashAggregate") >= 2
                    and "TakeOrderedAndProject" in plan
+                   and "LeftSemi" in plan
+                   and " IN (" not in plan
                    and "CartesianProduct" not in plan, plan))
 
     # 42. referential audit: every check is a LEFT ANTI equi-join;

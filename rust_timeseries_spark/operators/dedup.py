@@ -992,7 +992,11 @@ def dup_span_stats(
                 lambda i: F.concat_ws(" ", F.slice(F.col("_w"), i, ngram_k)),
             )
         ).alias("pos", "gram"),
-    )
+        # materialized once: the gram table feeds the duplication
+        # aggregate AND the semi-join probe (2× k-gram construction
+        # without it). Grams stay strings end-to-end — a hashed key
+        # here would have no exact re-verify to absorb collisions.
+    ).localCheckpoint()
     dup_grams = (
         grams.groupBy("gram")
         .agg(F.min(id_col).alias("_lo"), F.max(id_col).alias("_hi"))
